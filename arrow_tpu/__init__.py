@@ -1,0 +1,96 @@
+"""arrow_tpu — a TPU-native vectorized Arrow compute engine.
+
+Brand-new JAX/XLA/Pallas re-design with the capabilities of psvri/arrow-gpu
+(reference mounted at /root/reference; see SURVEY.md for the structural map):
+columnar arrays in HBM (dense padded value buffers + packed validity bitmaps),
+an elementwise kernel tier lowered to fused XLA programs, Pallas kernels for the
+compaction/aggregation/sort/join operator tier, and a distributed layer
+(mesh-sharded tables + all-to-all shuffles) the reference does not have.
+
+Public surface (≙ the umbrella crate `crates/arrow/src/lib.rs:1-3`):
+
+    import arrow_tpu as at
+    a = at.Float32Array.from_slice([1.0, 2.0, 3.0])
+    b = at.kernels.add_scalar(a, 10.0)
+    b.values()
+"""
+
+# 64-bit dtypes (u64 keys for the distributed join/sort tier) require x64.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from . import dtypes  # noqa: E402
+from .array import (  # noqa: E402,F401
+    ArrowArray,
+    ArrowArrayBase,
+    BitBufferBuilder,
+    BooleanArray,
+    Buffer,
+    Date32Array,
+    Float32Array,
+    Float64Array,
+    Int8Array,
+    Int16Array,
+    Int32Array,
+    Int64Array,
+    NullBitBuffer,
+    PrimitiveArray,
+    Scalar,
+    UInt8Array,
+    UInt16Array,
+    UInt32Array,
+    UInt64Array,
+    make_array,
+)
+from .dtypes import ArrowType, DataType  # noqa: E402
+from .errors import ArrowTpuError, CastingNotSupported, OperationNotSupported  # noqa: E402
+from .runtime import (  # noqa: E402
+    ComputePipeline,
+    Device,
+    LazyArray,
+    default_device,
+    set_default_device,
+)
+
+from . import kernels  # noqa: E402  (after array types; registers all ops)
+from .config import config, set_config  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ArrowArray",
+    "ArrowArrayBase",
+    "ArrowType",
+    "ArrowTpuError",
+    "BitBufferBuilder",
+    "BooleanArray",
+    "Buffer",
+    "CastingNotSupported",
+    "ComputePipeline",
+    "DataType",
+    "Date32Array",
+    "Device",
+    "Float32Array",
+    "Float64Array",
+    "Int8Array",
+    "Int16Array",
+    "Int32Array",
+    "Int64Array",
+    "LazyArray",
+    "NullBitBuffer",
+    "OperationNotSupported",
+    "PrimitiveArray",
+    "Scalar",
+    "UInt8Array",
+    "UInt16Array",
+    "UInt32Array",
+    "UInt64Array",
+    "config",
+    "default_device",
+    "dtypes",
+    "kernels",
+    "make_array",
+    "set_config",
+    "set_default_device",
+]
