@@ -1,0 +1,128 @@
+"""Filter / compaction operator: predicate mask -> densely packed selected rows.
+
+Net-new north-star operator (BASELINE.md: "filter: predicate + null-bitmap
+compaction, 100M rows, 1-99% selectivity, >=80% HBM roofline").  The reference
+only provides the seeds: `take` (gather) and bit-packed masks (SURVEY.md §3.6
+"these are the seeds of the build's filter/compaction operator").
+
+Design (TPU-native): ONE fused XLA program computes
+  select = mask_value_words & mask_validity_words   (null mask rows -> dropped,
+                                                     Arrow filter semantics)
+  count  = popcount(select)
+  pos    = exclusive prefix-scan of the select bits (XLA cumsum)
+  out    = scatter of selected rows to their positions
+The result buffer has input capacity; only the (host-synced) count is the
+logical length — this keeps the compiled program shape-stable across
+selectivities, so the 1-99% selectivity sweep reuses one executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..array.array import ArrowArrayBase, make_array
+from ..array.boolean import BooleanArray
+from ..errors import OperationNotSupported
+from ..table import RecordBatch
+from ..utils import bits as B
+
+
+def _select_words(mask_words, mask_validity):
+    return mask_words if mask_validity is None else mask_words & mask_validity
+
+
+@functools.lru_cache(maxsize=None)
+def _filter_program(n_padded: int, length: int, jdtype_str: str, has_validity: bool, is_bool: bool):
+    jdtype = jnp.dtype(jdtype_str)
+
+    def run(data, validity, mask_words, mask_validity):
+        select = _select_words(mask_words, mask_validity)
+        bools = B.unpack_bits(select)  # padded length (bits >= length are 0)
+        count = jnp.sum(bools, dtype=jnp.uint32)
+        # exclusive scan -> output position of every selected row
+        incl = jnp.cumsum(bools.astype(jnp.int32))
+        pos = (incl - 1).astype(jnp.int32)
+        n = bools.shape[0]
+        tgt = jnp.where(bools, pos, n)  # dropped rows scatter out of bounds
+        if is_bool:
+            src = B.unpack_bits(data)
+            out_bits = jnp.zeros((n,), jnp.bool_).at[tgt].set(src, mode="drop")
+            out = B.pack_bits(out_bits & (lax.broadcasted_iota(jnp.int32, (n,), 0) < count))
+        else:
+            out = jnp.zeros((n,), jdtype).at[tgt].set(data, mode="drop")
+        if has_validity:
+            vbits = B.unpack_bits(validity)
+            vout = jnp.zeros((n,), jnp.bool_).at[tgt].set(vbits, mode="drop")
+            vout = vout & (lax.broadcasted_iota(jnp.int32, (n,), 0) < count)
+            v = B.pack_bits(vout)
+        else:
+            v = None
+        return count, out, v
+
+    return jax.jit(run)
+
+
+def filter_indices(mask: BooleanArray) -> Tuple[ArrowArrayBase, int]:
+    """Selected row indices (UInt32Array) + count; null mask rows excluded."""
+    from ..ops.kernel import AV
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(words, validity, n):
+        select = words if validity is None else words & validity
+        bools = B.unpack_bits(select)
+        count = jnp.sum(bools, dtype=jnp.uint32)
+        idx = jnp.cumsum(bools.astype(jnp.int32)) - 1
+        n_pad = bools.shape[0]
+        tgt = jnp.where(bools, idx, n_pad)
+        rows = lax.broadcasted_iota(jnp.uint32, (n_pad,), 0)
+        out = jnp.zeros((n_pad,), jnp.uint32).at[tgt].set(rows, mode="drop")
+        return count, out
+
+    count, out = run(mask.data, mask.validity, mask.length)
+    k = int(count)
+    return make_array(out, None, k, dt.ArrowType.UINT32, mask.device), k
+
+
+def filter(
+    data: Union[ArrowArrayBase, RecordBatch],
+    mask: BooleanArray,
+    pipeline=None,
+) -> Union[ArrowArrayBase, RecordBatch]:
+    """Compact rows where mask is true (and valid).
+
+    For a RecordBatch, the selection scan runs once and every column shares it.
+    """
+    if mask.dtype is not dt.ArrowType.BOOL:
+        raise OperationNotSupported("filter mask must be a BooleanArray")
+    if isinstance(data, RecordBatch):
+        idx, k = filter_indices(mask)
+        from ..kernels import take as _take
+
+        # one shared index vector; each column is a gather over it
+        return RecordBatch({n: _take(c, idx) for n, c in data.columns().items()})
+
+    if len(data) != len(mask):
+        raise OperationNotSupported("filter requires equal lengths")
+    is_bool = data.dtype is dt.ArrowType.BOOL
+    prog = _filter_program(
+        int(data.data.shape[0]),
+        data.length,
+        str(jnp.dtype(data.data.dtype)),
+        data.validity is not None,
+        is_bool,
+    )
+    count, out, v = prog(data.data, data.validity, mask.data, mask.validity)
+    k = int(count)
+    return make_array(out, v, k, data.dtype, data.device)
+
+
+def filter_count(mask: BooleanArray) -> int:
+    """Number of rows a filter would select."""
+    select = _select_words(mask.data, mask.validity)
+    return int(B.popcount_words(select))
