@@ -1,0 +1,500 @@
+"""Distributed operators over ShardedBatches: filter, aggregate, join, sort, sum.
+
+Net-new tier (BASELINE.md: distributed variants of the four north-star
+operators, ">=75% rows/s scaling efficiency at N>=2 hosts").  Each operator is
+one shard_map program; per-shard row counts stay device-resident so chained
+operators never host-sync, and cross-shard redistribution reuses
+`shuffle.hash_partition` (ONE all-to-all per shuffle).
+
+Unlike the single-chip tier (arrow_tpu.compute), local lengths here are traced
+values, so every kernel masks with `iota < count` instead of static slicing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .. import dtypes as dt
+from ..errors import ArrowTpuError, OperationNotSupported
+from ..utils import bits as B
+from .mesh import MeshRuntime, smap
+from .sharding import ShardedBatch, ShardedColumn
+from .shuffle import _MESHES, hash_key, hash_partition
+
+
+def _valid_local(data_len: int, count, validity_words=None):
+    idx = lax.broadcasted_iota(jnp.int32, (data_len,), 0)
+    m = idx < count
+    if validity_words is not None:
+        m = m & B.unpack_bits(validity_words)
+    return m
+
+
+def _mesh_for(rt: MeshRuntime):
+    _MESHES[id(rt.mesh)] = rt.mesh
+    return id(rt.mesh)
+
+
+def _smap(rt: MeshRuntime, fn, in_specs, out_specs):
+    return jax.jit(smap(fn, rt.mesh, in_specs, out_specs))
+
+
+# ---------------------------------------------------------------------------
+# distributed filter
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_filter_program(mesh_key, axis, cap, col_spec: tuple):
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(counts, mask_words, mask_validity, *bufs):
+        c = counts[0]
+        mw = mask_words.reshape(-1)
+        sel = B.unpack_bits(mw if mask_validity is None else (mw & mask_validity.reshape(-1)))
+        sel = sel & (lax.broadcasted_iota(jnp.int32, (cap,), 0) < c)
+        pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+        k = jnp.sum(sel, dtype=jnp.int32)
+        tgt = jnp.where(sel, pos, cap)
+        live = lax.broadcasted_iota(jnp.int32, (cap,), 0) < k
+        outs = []
+        bi = 0
+        for name, dt_str, is_bool, has_validity in col_spec:
+            data = bufs[bi].reshape(bufs[bi].shape[-1])
+            bi += 1
+            vals = B.unpack_bits(data) if is_bool else data
+            comp = (
+                jnp.zeros((cap,), vals.dtype).at[tgt].set(vals, mode="drop")
+            )
+            outs.append(B.pack_bits(comp & live) if is_bool else comp)
+            if has_validity:
+                vw = bufs[bi].reshape(bufs[bi].shape[-1])
+                bi += 1
+                vb = B.unpack_bits(vw)
+                vcomp = jnp.zeros((cap,), jnp.bool_).at[tgt].set(vb, mode="drop")
+                outs.append(B.pack_bits(vcomp & live))
+        return (k[None], *[o[None] for o in outs])
+
+    n_bufs = sum(1 + s[3] for s in col_spec)
+    in_specs = (P(axis), P(axis, None), P(axis, None), *[P(axis, None)] * n_bufs)
+    out_specs = (P(axis), *[P(axis, None)] * n_bufs)
+    fn = smap(per_shard, mesh, in_specs, out_specs)
+    return jax.jit(fn)
+
+
+def distributed_filter(sb: ShardedBatch, mask: str) -> ShardedBatch:
+    """Compact every shard by a BOOL mask column (no collectives needed)."""
+    mcol = sb.columns[mask]
+    if mcol.dtype is not dt.ArrowType.BOOL:
+        raise OperationNotSupported("filter mask column must be BOOL")
+    rt = sb.runtime
+    names = [n for n in sb.columns if n != mask]
+    col_spec = []
+    bufs: List = []
+    for n in names:
+        col = sb.columns[n]
+        col_spec.append(
+            (n, str(col.data.dtype), col.dtype is dt.ArrowType.BOOL, col.validity is not None)
+        )
+        bufs.append(col.data)
+        if col.validity is not None:
+            bufs.append(col.validity)
+    mv = mcol.validity
+    if mv is None:
+        # uniform all-valid words so the program signature stays fixed
+        mv = jnp.ones_like(mcol.data) * jnp.uint32(0xFFFFFFFF)
+        mv = jax.device_put(mv, rt.sharding(rt.axis, None))
+    prog = _dist_filter_program(_mesh_for(rt), rt.axis, sb.capacity, tuple(col_spec))
+    outs = prog(sb.counts, mcol.data, mv, *bufs)
+    new_counts = outs[0]
+    out_cols: Dict[str, ShardedColumn] = {}
+    oi = 1
+    for n, dt_str, is_bool, has_validity in col_spec:
+        data = outs[oi]
+        oi += 1
+        v = None
+        if has_validity:
+            v = outs[oi]
+            oi += 1
+        out_cols[n] = ShardedColumn(data, v, sb.columns[n].dtype)
+    return ShardedBatch(out_cols, new_counts, rt)
+
+
+# ---------------------------------------------------------------------------
+# distributed sum / aggregate
+# ---------------------------------------------------------------------------
+
+
+def distributed_sum(sb: ShardedBatch, column: str):
+    """Global sum of a column (local masked sum + psum over the mesh)."""
+    col = sb.columns[column]
+    if col.dtype is dt.ArrowType.BOOL:
+        raise OperationNotSupported("sum over BOOL unsupported")
+    rt = sb.runtime
+    cap = sb.capacity
+    axis = rt.axis
+
+    def per_shard(counts, data, validity):
+        c = counts[0]
+        d = data.reshape(-1)
+        m = _valid_local(cap, c, None if validity is None else validity.reshape(-1))
+        local = jnp.sum(jnp.where(m, d, jnp.zeros_like(d)))
+        return lax.psum(local, axis)[None]
+
+    if col.validity is None:
+        fn = _smap(
+            rt,
+            lambda c, d: per_shard(c, d, None),
+            (P(axis), P(axis, None)),
+            P(axis),
+        )
+        out = fn(sb.counts, col.data)
+    else:
+        fn = _smap(
+            rt,
+            per_shard,
+            (P(axis), P(axis, None), P(axis, None)),
+            P(axis),
+        )
+        out = fn(sb.counts, col.data, col.validity)
+    return out[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_groupby_program(mesh_key, axis, cap, key_dt: str, key_has_v: bool, agg_spec: tuple):
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(counts, key_data, *bufs):
+        c = counts[0]
+        kd = key_data.reshape(-1)
+        bi = 0
+        kv = None
+        if key_has_v:
+            kv = bufs[0].reshape(-1)
+            bi = 1
+        kvalid = _valid_local(cap, c, kv)
+        rank = jnp.where(kvalid, 0, 1).astype(jnp.int32)
+        rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
+        srank, skey, sorder = lax.sort([rank, kd, rows], num_keys=2, is_stable=True)
+        in_group = srank == 0
+        prev = jnp.roll(skey, 1)
+        starts = in_group & ((lax.broadcasted_iota(jnp.int32, (cap,), 0) == 0) | (skey != prev))
+        seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
+        g = jnp.sum(starts, dtype=jnp.int32)
+        tgt = jnp.where(in_group, seg, cap)
+        out_keys = jnp.zeros((cap,), kd.dtype).at[tgt].set(skey, mode="drop")
+        outs = [g[None], out_keys[None]]
+        for agg, vdt_str, has_v in agg_spec:
+            if agg == "count_all":
+                outs.append(jnp.zeros((cap,), jnp.int64).at[tgt].add(1, mode="drop")[None])
+                continue
+            vdt = jnp.dtype(vdt_str)
+            vd = bufs[bi].reshape(-1)
+            bi += 1
+            vv = None
+            if has_v:
+                vv = bufs[bi].reshape(-1)
+                bi += 1
+            svals = vd[sorder]
+            vvalid = _valid_local(cap, c, vv)[sorder] & in_group
+            vt = jnp.where(vvalid, seg, cap)
+            if agg == "sum":
+                acc = jnp.int64 if jnp.issubdtype(vdt, jnp.integer) else jnp.float64
+                if vdt == jnp.uint64:
+                    acc = jnp.uint64
+                outs.append(
+                    jnp.zeros((cap,), acc).at[vt].add(svals.astype(acc), mode="drop").astype(vdt)[None]
+                )
+            elif agg == "count":
+                outs.append(jnp.zeros((cap,), jnp.int64).at[vt].add(1, mode="drop")[None])
+            elif agg == "min":
+                init = jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).max
+                outs.append(jnp.full((cap,), init, vdt).at[vt].min(svals, mode="drop")[None])
+            elif agg == "max":
+                init = -jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).min
+                outs.append(jnp.full((cap,), init, vdt).at[vt].max(svals, mode="drop")[None])
+        return tuple(outs)
+
+    n_bufs = int(key_has_v) + sum(
+        (0 if s[0] == "count_all" else (1 + s[2])) for s in agg_spec
+    )
+    in_specs = (P(axis), P(axis, None), *[P(axis, None)] * n_bufs)
+    n_outs = 1 + len(agg_spec)
+    out_specs = (P(axis), *[P(axis, None)] * n_outs)
+    return jax.jit(
+        smap(per_shard, mesh, in_specs, out_specs)
+    )
+
+
+def distributed_aggregate(
+    sb: ShardedBatch,
+    key: str,
+    aggregations: Sequence[Tuple[str, Optional[str], str]],
+    pre_partitioned: bool = False,
+    bucket_rows: Optional[int] = None,
+) -> ShardedBatch:
+    """GROUP BY across the mesh: hash-partition by key (one all-to-all), then
+    shard-local sort-based grouping — groups never span shards afterwards.
+
+    aggregations: (out_name, value_column_name | None, kind).
+    Returns a ShardedBatch of group rows {key, *outputs}.
+    """
+    if not pre_partitioned:
+        sb = hash_partition(sb, key, bucket_rows=bucket_rows)
+    rt = sb.runtime
+    kcol = sb.columns[key]
+    agg_spec = []
+    bufs: List = []
+    if kcol.validity is not None:
+        bufs.append(kcol.validity)
+    for name, vc, kind in aggregations:
+        if vc is None:
+            if kind != "count":
+                raise OperationNotSupported("only count may omit the value column")
+            agg_spec.append(("count_all", "", False))
+            continue
+        col = sb.columns[vc]
+        agg_spec.append((kind, str(col.data.dtype), col.validity is not None))
+        bufs.append(col.data)
+        if col.validity is not None:
+            bufs.append(col.validity)
+    prog = _dist_groupby_program(
+        _mesh_for(rt), rt.axis, sb.capacity, str(kcol.data.dtype),
+        kcol.validity is not None, tuple(agg_spec),
+    )
+    outs = prog(sb.counts, kcol.data, *bufs)
+    new_counts = outs[0]
+    cols = {"key": ShardedColumn(outs[1], None, kcol.dtype)}
+    for (name, vc, kind), buf in zip(aggregations, outs[2:]):
+        if kind == "count":
+            cols[name] = ShardedColumn(buf, None, dt.ArrowType.INT64)
+        else:
+            cols[name] = ShardedColumn(buf, None, sb.columns[vc].dtype)
+    return ShardedBatch(cols, new_counts, rt)
+
+
+# ---------------------------------------------------------------------------
+# distributed join
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_join_program(mesh_key, axis, bcap, pcap, out_cap, key_dt, bv, pv):
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(bcounts, bkeys, bvalidity, pcounts, pkeys, pvalidity):
+        bc, pc = bcounts[0], pcounts[0]
+        bk = bkeys.reshape(-1)
+        pk = pkeys.reshape(-1)
+        bvalid = _valid_local(bcap, bc, None if bvalidity is None else bvalidity.reshape(-1))
+        pvalid = _valid_local(pcap, pc, None if pvalidity is None else pvalidity.reshape(-1))
+        maxval = jnp.iinfo(bk.dtype).max
+        nkeys = jnp.where(bvalid, bk, jnp.asarray(maxval, bk.dtype))
+        rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
+        rows = lax.broadcasted_iota(jnp.uint32, (bcap,), 0)
+        _, skey, sorder = lax.sort([rank, nkeys, rows], num_keys=2, is_stable=True)
+        nb = jnp.sum(bvalid, dtype=jnp.int32)
+        lo = jnp.minimum(jnp.searchsorted(skey, pk, side="left"), nb)
+        hi = jnp.minimum(jnp.searchsorted(skey, pk, side="right"), nb)
+        cnt = jnp.where(pvalid, hi - lo, 0).astype(jnp.int64)
+        offsets = jnp.cumsum(cnt) - cnt
+        total = jnp.sum(cnt)
+        j = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
+        pi = jnp.minimum(jnp.searchsorted(offsets + cnt, j, side="right"), pcap - 1)
+        r = j - offsets[pi]
+        bpos = jnp.clip(lo[pi].astype(jnp.int64) + r, 0, bcap - 1)
+        bi_rows = sorder[bpos]
+        live = j < jnp.minimum(total, out_cap)
+        probe_idx = jnp.where(live, pi, 0).astype(jnp.uint32)
+        build_idx = jnp.where(live, bi_rows, 0).astype(jnp.uint32)
+        k = jnp.minimum(total, out_cap).astype(jnp.int32)
+        overflow = total > out_cap
+        return k[None], overflow[None], probe_idx[None], build_idx[None]
+
+    def mk(has_bv, has_pv):
+        def f(bcounts, bkeys, pcounts, pkeys, *vs):
+            vi = 0
+            bval = None
+            pval = None
+            if has_bv:
+                bval = vs[vi]; vi += 1
+            if has_pv:
+                pval = vs[vi]; vi += 1
+            return per_shard(bcounts, bkeys, bval, pcounts, pkeys, pval)
+
+        return f
+
+    extra = int(bv) + int(pv)
+    in_specs = (
+        P(axis), P(axis, None), P(axis), P(axis, None), *[P(axis, None)] * extra
+    )
+    out_specs = (P(axis), P(axis), P(axis, None), P(axis, None))
+    return jax.jit(
+        smap(mk(bv, pv), mesh, in_specs, out_specs)
+    )
+
+
+def distributed_join_indices(
+    build: ShardedBatch,
+    probe: ShardedBatch,
+    build_key: str,
+    probe_key: str,
+    out_capacity: Optional[int] = None,
+    pre_partitioned: bool = False,
+    bucket_rows: Optional[int] = None,
+    check: bool = True,
+):
+    """Distributed inner equi-join: co-partition both sides by key hash (two
+    all-to-alls), then per-shard sort-probe join.
+
+    Returns (counts (P,), probe_row_idx ShardedColumn, build_row_idx
+    ShardedColumn, partitioned_build, partitioned_probe): indices are local to
+    the *partitioned* batches, which are returned so callers can gather payload
+    columns.
+    """
+    if not pre_partitioned:
+        build = hash_partition(build, build_key, bucket_rows=bucket_rows)
+        probe = hash_partition(probe, probe_key, bucket_rows=bucket_rows)
+    rt = build.runtime
+    bcol, pcol = build.columns[build_key], probe.columns[probe_key]
+    if bcol.dtype is not pcol.dtype:
+        raise OperationNotSupported("join key dtypes must match")
+    if not dt.is_integer(bcol.dtype):
+        raise OperationNotSupported("join keys must be integer dtypes")
+    out_cap = out_capacity or max(build.capacity, probe.capacity)
+    prog = _dist_join_program(
+        _mesh_for(rt), rt.axis, build.capacity, probe.capacity, out_cap,
+        str(bcol.data.dtype), bcol.validity is not None, pcol.validity is not None,
+    )
+    vs = []
+    if bcol.validity is not None:
+        vs.append(bcol.validity)
+    if pcol.validity is not None:
+        vs.append(pcol.validity)
+    k, overflow, probe_idx, build_idx = prog(
+        build.counts, bcol.data, probe.counts, pcol.data, *vs
+    )
+    if check and bool(jnp.any(overflow)):
+        raise ArrowTpuError(
+            f"join output overflow: raise out_capacity (got {out_cap})"
+        )
+    return (
+        k,
+        ShardedColumn(probe_idx, None, dt.ArrowType.UINT32),
+        ShardedColumn(build_idx, None, dt.ArrowType.UINT32),
+        build,
+        probe,
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed sort (sample-splitter range partition + local sort)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_sort_program(mesh_key, axis, p, cap, out_cap, n_samples, key_dt, payload_spec):
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(counts, key_data, *payloads):
+        c = counts[0]
+        kd = key_data.reshape(-1)
+        valid = _valid_local(cap, c, None)
+        maxval = (
+            jnp.asarray(jnp.iinfo(kd.dtype).max, kd.dtype)
+            if jnp.issubdtype(kd.dtype, jnp.integer)
+            else jnp.asarray(jnp.inf, kd.dtype)
+        )
+        nkeys = jnp.where(valid, kd, maxval)
+
+        # -- splitters: strided local sample -> all_gather -> quantiles -----
+        stride = max(cap // n_samples, 1)
+        sample = nkeys[:: stride][:n_samples]
+        allsamp = lax.all_gather(sample, axis).reshape(-1)
+        ssorted = jnp.sort(allsamp)
+        qs = (jnp.arange(1, p) * (ssorted.shape[0] // p)).astype(jnp.int32)
+        splitters = ssorted[qs]  # (p-1,) ascending
+
+        dest = jnp.searchsorted(splitters, nkeys, side="right").astype(jnp.int32)
+        dest = jnp.where(valid, dest, p)
+
+        rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
+        t_s, order = lax.sort([dest, rows], num_keys=1, is_stable=True)
+        cnt = jnp.zeros((p + 1,), jnp.int32).at[dest].add(1)[:p]
+        starts = jnp.cumsum(cnt) - cnt
+        bucket = out_cap  # generous: each dest bucket can hold a full shard
+        j_ids = lax.broadcasted_iota(jnp.int32, (p, bucket), 1)
+        slot_live = j_ids < jnp.minimum(cnt, bucket)[:, None]
+        gidx = jnp.clip(starts[:, None] + j_ids, 0, cap - 1)
+        src_rows = order[gidx]
+
+        rcnt = lax.all_to_all(jnp.minimum(cnt, bucket)[:, None], axis, 0, 0).reshape(p)
+        roff = jnp.cumsum(rcnt) - rcnt
+        total = jnp.sum(rcnt)
+        out_i = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
+        s_of = jnp.minimum(jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right"), p - 1)
+        j_of = jnp.clip((out_i - roff[s_of]).astype(jnp.int32), 0, bucket - 1)
+        live_out = out_i < jnp.minimum(total, out_cap)
+
+        send_k = nkeys[src_rows]
+        recv_k = lax.all_to_all(send_k, axis, 0, 0)
+        local_k = jnp.where(live_out, recv_k[s_of, j_of], maxval)
+
+        # local sort of received keys (+payloads)
+        recv_payloads = []
+        for pb in payloads:
+            pd = pb.reshape(-1)
+            sendp = pd[src_rows]
+            recvp = lax.all_to_all(sendp, axis, 0, 0)
+            recv_payloads.append(jnp.where(live_out, recvp[s_of, j_of], jnp.zeros_like(pd[:1])[0]))
+        sorted_all = lax.sort([local_k, *recv_payloads], num_keys=1, is_stable=True)
+        new_count = jnp.minimum(total, out_cap).astype(jnp.int32)
+        overflow = total > out_cap
+        return (new_count[None], overflow[None], *[s[None] for s in sorted_all])
+
+    n_payloads = len(payload_spec)
+    in_specs = (P(axis), P(axis, None), *[P(axis, None)] * n_payloads)
+    out_specs = (P(axis), P(axis), *[P(axis, None)] * (1 + n_payloads))
+    return jax.jit(
+        smap(per_shard, mesh, in_specs, out_specs)
+    )
+
+
+def distributed_sort(
+    sb: ShardedBatch,
+    key: str,
+    out_capacity: Optional[int] = None,
+    n_samples: int = 256,
+    check: bool = True,
+) -> ShardedBatch:
+    """Globally sort by `key`: sampled splitters -> range-partition all-to-all
+    -> local sort.  Shard s holds globally-ordered range s.  Null keys are
+    unsupported (sort semantics of the bench configs: dense key+payload)."""
+    rt = sb.runtime
+    kcol = sb.columns[key]
+    if kcol.validity is not None or kcol.dtype is dt.ArrowType.BOOL:
+        raise OperationNotSupported("distributed_sort: non-null primitive keys only")
+    payload_names = [n for n in sb.columns if n != key]
+    for n in payload_names:
+        col = sb.columns[n]
+        if col.validity is not None or col.dtype is dt.ArrowType.BOOL:
+            raise OperationNotSupported("distributed_sort payload must be non-null primitive")
+    out_cap = out_capacity or 2 * sb.capacity
+    prog = _dist_sort_program(
+        _mesh_for(rt), rt.axis, rt.num_shards, sb.capacity, out_cap, n_samples,
+        str(kcol.data.dtype), tuple((str(sb.columns[n].data.dtype),) for n in payload_names),
+    )
+    outs = prog(sb.counts, kcol.data, *[sb.columns[n].data for n in payload_names])
+    new_counts, overflow = outs[0], outs[1]
+    if check and bool(jnp.any(overflow)):
+        raise ArrowTpuError("distributed_sort capacity overflow; raise out_capacity")
+    cols = {key: ShardedColumn(outs[2], None, kcol.dtype)}
+    for n, buf in zip(payload_names, outs[3:]):
+        cols[n] = ShardedColumn(buf, None, sb.columns[n].dtype)
+    return ShardedBatch(cols, new_counts, rt)
