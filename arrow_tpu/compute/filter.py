@@ -9,8 +9,12 @@ Design (TPU-native): ONE fused XLA program computes
   select = mask_value_words & mask_validity_words   (null mask rows -> dropped,
                                                      Arrow filter semantics)
   count  = popcount(select)
-  pos    = exclusive prefix-scan of the select bits (XLA cumsum)
-  out    = scatter of selected rows to their positions
+  out    = stable partition: multi-operand stable sort on the 1-bit select key,
+           moving selected rows (data + validity bits together) to the front in
+           original order.
+Compaction-as-sort is the TPU-native choice: measured on v5e, XLA's sort
+emitter moves 4M rows in ~8ms where the scatter formulation takes ~24ms and a
+searchsorted/gather formulation ~700ms (random HBM gathers serialize).
 The result buffer has input capacity; only the (host-synced) count is the
 logical length — this keeps the compiled program shape-stable across
 selectivities, so the 1-99% selectivity sweep reuses one executable.
@@ -41,28 +45,24 @@ def _select_words(mask_words, mask_validity):
 def _filter_program(n_padded: int, length: int, jdtype_str: str, has_validity: bool, is_bool: bool):
     jdtype = jnp.dtype(jdtype_str)
 
+    from ..utils.scans import stable_partition
+
     def run(data, validity, mask_words, mask_validity):
         select = _select_words(mask_words, mask_validity)
         bools = B.unpack_bits(select)  # padded length (bits >= length are 0)
         count = jnp.sum(bools, dtype=jnp.uint32)
-        # exclusive scan -> output position of every selected row
-        incl = jnp.cumsum(bools.astype(jnp.int32))
-        pos = (incl - 1).astype(jnp.int32)
         n = bools.shape[0]
-        tgt = jnp.where(bools, pos, n)  # dropped rows scatter out of bounds
-        if is_bool:
-            src = B.unpack_bits(data)
-            out_bits = jnp.zeros((n,), jnp.bool_).at[tgt].set(src, mode="drop")
-            out = B.pack_bits(out_bits & (lax.broadcasted_iota(jnp.int32, (n,), 0) < count))
-        else:
-            out = jnp.zeros((n,), jdtype).at[tgt].set(data, mode="drop")
+        vals = B.unpack_bits(data) if is_bool else data
+        operands = [vals]
         if has_validity:
-            vbits = B.unpack_bits(validity)
-            vout = jnp.zeros((n,), jnp.bool_).at[tgt].set(vbits, mode="drop")
-            vout = vout & (lax.broadcasted_iota(jnp.int32, (n,), 0) < count)
-            v = B.pack_bits(vout)
+            operands.append(B.unpack_bits(validity))
+        parts = stable_partition(bools, operands)
+        live = lax.broadcasted_iota(jnp.uint32, (n,), 0) < count
+        if is_bool:
+            out = B.pack_bits(parts[0] & live)
         else:
-            v = None
+            out = jnp.where(live, parts[0], jnp.zeros_like(parts[0]))
+        v = B.pack_bits(parts[1] & live) if has_validity else None
         return count, out, v
 
     return jax.jit(run)
@@ -72,16 +72,18 @@ def filter_indices(mask: BooleanArray) -> Tuple[ArrowArrayBase, int]:
     """Selected row indices (UInt32Array) + count; null mask rows excluded."""
     from ..ops.kernel import AV
 
+    from ..utils.scans import stable_partition
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def run(words, validity, n):
         select = words if validity is None else words & validity
         bools = B.unpack_bits(select)
         count = jnp.sum(bools, dtype=jnp.uint32)
-        idx = jnp.cumsum(bools.astype(jnp.int32)) - 1
         n_pad = bools.shape[0]
-        tgt = jnp.where(bools, idx, n_pad)
         rows = lax.broadcasted_iota(jnp.uint32, (n_pad,), 0)
-        out = jnp.zeros((n_pad,), jnp.uint32).at[tgt].set(rows, mode="drop")
+        (sel_rows,) = stable_partition(bools, [rows])
+        live = rows < count
+        out = jnp.where(live, sel_rows, jnp.uint32(0))
         return count, out
 
     count, out = run(mask.data, mask.validity, mask.length)

@@ -65,8 +65,10 @@ def _count_program(spec: tuple):
         nvalid_b = jnp.sum(bvalid, dtype=jnp.int32)
 
         pvalid = _valid_mask(pkeys, pvalidity, lp)
-        lo = jnp.searchsorted(skey, pkeys, side="left")
-        hi = jnp.searchsorted(skey, pkeys, side="right")
+        # method="sort" lowers searchsorted to a co-sort instead of per-query
+        # binary-search gathers (random gathers are ~40x slower on TPU)
+        lo = jnp.searchsorted(skey, pkeys, side="left", method="sort")
+        hi = jnp.searchsorted(skey, pkeys, side="right", method="sort")
         # clamp to the valid prefix of the sorted build side
         lo = jnp.minimum(lo, nvalid_b)
         hi = jnp.minimum(hi, nvalid_b)
@@ -83,7 +85,7 @@ def _emit_program(out_cap: int):
     def run(cnt, offsets, lo, sorder, total):
         j = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
         # probe row for each output slot: last offset <= j
-        pi = jnp.searchsorted(offsets + cnt, j, side="right")
+        pi = jnp.searchsorted(offsets + cnt, j, side="right", method="sort")
         pi = jnp.minimum(pi, offsets.shape[0] - 1)
         r = j - offsets[pi]
         bpos = lo[pi].astype(jnp.int64) + r

@@ -153,11 +153,18 @@ def _eager_jit(op_name: str, meta_key: tuple, pkey: tuple):
 
 def execute(op_name: str, avs: Sequence[AV], params: Optional[dict] = None):
     """Run a registered op eagerly; returns list of AV with concrete buffers."""
+    from ..config import config
+
     params = params or {}
     meta_key = tuple((a.dtype, a.length) for a in avs)
     run = _eager_jit(op_name, meta_key, _params_key(params))
     bufs = tuple((a.data, a.validity) for a in avs)
-    out_bufs, metas = run(bufs)
+    if config.profile:
+        from ..runtime import profiler
+
+        out_bufs, metas = profiler.timed_call(op_name, run, bufs)
+    else:
+        out_bufs, metas = run(bufs)
     return [
         AV(d, v, length, dtype)
         for (d, v), (dtype, length) in zip(out_bufs, metas)

@@ -54,31 +54,38 @@ def _smap(rt: MeshRuntime, fn, in_specs, out_specs):
 def _dist_filter_program(mesh_key, axis, cap, col_spec: tuple):
     mesh = _MESHES[mesh_key]
 
+    from ..utils.scans import stable_partition
+
     def per_shard(counts, mask_words, mask_validity, *bufs):
         c = counts[0]
         mw = mask_words.reshape(-1)
         sel = B.unpack_bits(mw if mask_validity is None else (mw & mask_validity.reshape(-1)))
         sel = sel & (lax.broadcasted_iota(jnp.int32, (cap,), 0) < c)
-        pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
         k = jnp.sum(sel, dtype=jnp.int32)
-        tgt = jnp.where(sel, pos, cap)
         live = lax.broadcasted_iota(jnp.int32, (cap,), 0) < k
-        outs = []
+        # one multi-operand stable-partition sort compacts every column at once
+        operands = []
+        layout = []  # (is_bool, has_validity) per column, operand slots in order
         bi = 0
         for name, dt_str, is_bool, has_validity in col_spec:
             data = bufs[bi].reshape(bufs[bi].shape[-1])
             bi += 1
-            vals = B.unpack_bits(data) if is_bool else data
-            comp = (
-                jnp.zeros((cap,), vals.dtype).at[tgt].set(vals, mode="drop")
-            )
-            outs.append(B.pack_bits(comp & live) if is_bool else comp)
+            operands.append(B.unpack_bits(data) if is_bool else data)
             if has_validity:
                 vw = bufs[bi].reshape(bufs[bi].shape[-1])
                 bi += 1
-                vb = B.unpack_bits(vw)
-                vcomp = jnp.zeros((cap,), jnp.bool_).at[tgt].set(vb, mode="drop")
-                outs.append(B.pack_bits(vcomp & live))
+                operands.append(B.unpack_bits(vw))
+            layout.append((is_bool, has_validity))
+        parts = stable_partition(sel, operands)
+        outs = []
+        pi = 0
+        for is_bool, has_validity in layout:
+            comp = parts[pi]
+            pi += 1
+            outs.append(B.pack_bits(comp & live) if is_bool else jnp.where(live, comp, jnp.zeros_like(comp)))
+            if has_validity:
+                outs.append(B.pack_bits(parts[pi] & live))
+                pi += 1
         return (k[None], *[o[None] for o in outs])
 
     n_bufs = sum(1 + s[3] for s in col_spec)
@@ -170,6 +177,8 @@ def distributed_sum(sb: ShardedBatch, column: str):
 def _dist_groupby_program(mesh_key, axis, cap, key_dt: str, key_has_v: bool, agg_spec: tuple):
     mesh = _MESHES[mesh_key]
 
+    from ..compute.hash_aggregate import groupby_core
+
     def per_shard(counts, key_data, *bufs):
         c = counts[0]
         kd = key_data.reshape(-1)
@@ -179,47 +188,19 @@ def _dist_groupby_program(mesh_key, axis, cap, key_dt: str, key_has_v: bool, agg
             kv = bufs[0].reshape(-1)
             bi = 1
         kvalid = _valid_local(cap, c, kv)
-        rank = jnp.where(kvalid, 0, 1).astype(jnp.int32)
-        rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
-        srank, skey, sorder = lax.sort([rank, kd, rows], num_keys=2, is_stable=True)
-        in_group = srank == 0
-        prev = jnp.roll(skey, 1)
-        starts = in_group & ((lax.broadcasted_iota(jnp.int32, (cap,), 0) == 0) | (skey != prev))
-        seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
-        g = jnp.sum(starts, dtype=jnp.int32)
-        tgt = jnp.where(in_group, seg, cap)
-        out_keys = jnp.zeros((cap,), kd.dtype).at[tgt].set(skey, mode="drop")
-        outs = [g[None], out_keys[None]]
+        val_entries = []
         for agg, vdt_str, has_v in agg_spec:
             if agg == "count_all":
-                outs.append(jnp.zeros((cap,), jnp.int64).at[tgt].add(1, mode="drop")[None])
                 continue
-            vdt = jnp.dtype(vdt_str)
             vd = bufs[bi].reshape(-1)
             bi += 1
             vv = None
             if has_v:
                 vv = bufs[bi].reshape(-1)
                 bi += 1
-            svals = vd[sorder]
-            vvalid = _valid_local(cap, c, vv)[sorder] & in_group
-            vt = jnp.where(vvalid, seg, cap)
-            if agg == "sum":
-                acc = jnp.int64 if jnp.issubdtype(vdt, jnp.integer) else jnp.float64
-                if vdt == jnp.uint64:
-                    acc = jnp.uint64
-                outs.append(
-                    jnp.zeros((cap,), acc).at[vt].add(svals.astype(acc), mode="drop").astype(vdt)[None]
-                )
-            elif agg == "count":
-                outs.append(jnp.zeros((cap,), jnp.int64).at[vt].add(1, mode="drop")[None])
-            elif agg == "min":
-                init = jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).max
-                outs.append(jnp.full((cap,), init, vdt).at[vt].min(svals, mode="drop")[None])
-            elif agg == "max":
-                init = -jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).min
-                outs.append(jnp.full((cap,), init, vdt).at[vt].max(svals, mode="drop")[None])
-        return tuple(outs)
+            val_entries.append((vd, _valid_local(cap, c, vv)))
+        g, out_keys, out_aggs = groupby_core(kd, kvalid, val_entries, agg_spec)
+        return (g.astype(jnp.int32)[None], out_keys[None], *[a[None] for a in out_aggs])
 
     n_bufs = int(key_has_v) + sum(
         (0 if s[0] == "count_all" else (1 + s[2])) for s in agg_spec
@@ -274,6 +255,8 @@ def distributed_aggregate(
     for (name, vc, kind), buf in zip(aggregations, outs[2:]):
         if kind == "count":
             cols[name] = ShardedColumn(buf, None, dt.ArrowType.INT64)
+        elif kind == "mean":
+            cols[name] = ShardedColumn(buf, None, dt.ArrowType.FLOAT64)
         else:
             cols[name] = ShardedColumn(buf, None, sb.columns[vc].dtype)
     return ShardedBatch(cols, new_counts, rt)
@@ -300,13 +283,13 @@ def _dist_join_program(mesh_key, axis, bcap, pcap, out_cap, key_dt, bv, pv):
         rows = lax.broadcasted_iota(jnp.uint32, (bcap,), 0)
         _, skey, sorder = lax.sort([rank, nkeys, rows], num_keys=2, is_stable=True)
         nb = jnp.sum(bvalid, dtype=jnp.int32)
-        lo = jnp.minimum(jnp.searchsorted(skey, pk, side="left"), nb)
-        hi = jnp.minimum(jnp.searchsorted(skey, pk, side="right"), nb)
+        lo = jnp.minimum(jnp.searchsorted(skey, pk, side="left", method="sort"), nb)
+        hi = jnp.minimum(jnp.searchsorted(skey, pk, side="right", method="sort"), nb)
         cnt = jnp.where(pvalid, hi - lo, 0).astype(jnp.int64)
         offsets = jnp.cumsum(cnt) - cnt
         total = jnp.sum(cnt)
         j = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
-        pi = jnp.minimum(jnp.searchsorted(offsets + cnt, j, side="right"), pcap - 1)
+        pi = jnp.minimum(jnp.searchsorted(offsets + cnt, j, side="right", method="sort"), pcap - 1)
         r = j - offsets[pi]
         bpos = jnp.clip(lo[pi].astype(jnp.int64) + r, 0, bcap - 1)
         bi_rows = sorder[bpos]
@@ -421,7 +404,7 @@ def _dist_sort_program(mesh_key, axis, p, cap, out_cap, n_samples, key_dt, paylo
         qs = (jnp.arange(1, p) * (ssorted.shape[0] // p)).astype(jnp.int32)
         splitters = ssorted[qs]  # (p-1,) ascending
 
-        dest = jnp.searchsorted(splitters, nkeys, side="right").astype(jnp.int32)
+        dest = jnp.searchsorted(splitters, nkeys, side="right", method="sort").astype(jnp.int32)
         dest = jnp.where(valid, dest, p)
 
         rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
@@ -438,7 +421,7 @@ def _dist_sort_program(mesh_key, axis, p, cap, out_cap, n_samples, key_dt, paylo
         roff = jnp.cumsum(rcnt) - rcnt
         total = jnp.sum(rcnt)
         out_i = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
-        s_of = jnp.minimum(jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right"), p - 1)
+        s_of = jnp.minimum(jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right", method="sort"), p - 1)
         j_of = jnp.clip((out_i - roff[s_of]).astype(jnp.int32), 0, bucket - 1)
         live_out = out_i < jnp.minimum(total, out_cap)
 

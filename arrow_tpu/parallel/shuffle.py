@@ -110,7 +110,7 @@ def _shuffle_program(
 
         # output compaction map: slot i <- (source shard s, rank j)
         out_i = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
-        s_of = jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right")
+        s_of = jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right", method="sort")
         s_of = jnp.minimum(s_of, p - 1)
         j_of = (out_i - roff[s_of]).astype(jnp.int32)
         j_of = jnp.clip(j_of, 0, bucket - 1)

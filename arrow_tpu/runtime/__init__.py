@@ -3,6 +3,7 @@
 ≙ reference `crates/array/src/gpu_utils/` (SURVEY.md §1 L1).
 """
 
+from . import profiler
 from .device import Device, default_device, set_default_device
 from .pipeline import ComputePipeline, LazyArray
 
@@ -11,5 +12,6 @@ __all__ = [
     "Device",
     "LazyArray",
     "default_device",
+    "profiler",
     "set_default_device",
 ]

@@ -216,7 +216,16 @@ class ComputePipeline:
             live_ids,
         )
         fn = _compile_graph(signature)
-        out = fn(tuple(self._inputs))
+        from ..config import config
+
+        if config.profile:
+            from . import profiler
+
+            out = profiler.timed_call(
+                f"pipeline[{len(self._nodes)} ops]", fn, tuple(self._inputs)
+            )
+        else:
+            out = fn(tuple(self._inputs))
         meta_by_id = {}
         for n in self._nodes:
             for oid, m in zip(n.out_ids, n.out_meta):

@@ -84,15 +84,28 @@ def jax_popcount(words: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_bits_np(mask: np.ndarray, pad_words: int | None = None) -> np.ndarray:
-    """bool[N] -> uint32[ceil(N/32)] (LSB-first), optionally padded with 0-words."""
-    nb = np.packbits(np.asarray(mask, dtype=np.bool_), bitorder="little")
+    """bool[N] -> uint32[ceil(N/32)] (LSB-first), optionally padded with 0-words.
+
+    Prefers the C++ host runtime (csrc/host_runtime.cpp) when built."""
+    mask = np.asarray(mask, dtype=np.bool_)
     w = num_words(mask.shape[0]) if pad_words is None else pad_words
-    out = np.zeros(w * 4, dtype=np.uint8)
-    out[: nb.shape[0]] = nb
-    return out.view(np.uint32)
+    from ..runtime import native
+
+    out = native.pack_bits_native(mask.view(np.uint8), w)
+    if out is not None:
+        return out
+    nb = np.packbits(mask, bitorder="little")
+    buf = np.zeros(w * 4, dtype=np.uint8)
+    buf[: nb.shape[0]] = nb
+    return buf.view(np.uint32)
 
 
 def unpack_bits_np(words: np.ndarray, n: int) -> np.ndarray:
     """uint32[W] -> bool[n] (LSB-first)."""
+    from ..runtime import native
+
+    out = native.unpack_bits_native(np.ascontiguousarray(words), n)
+    if out is not None:
+        return out
     by = np.ascontiguousarray(words).view(np.uint8)
     return np.unpackbits(by, count=n, bitorder="little").astype(np.bool_)

@@ -1,0 +1,70 @@
+"""Device-true timing over high-latency dispatch paths.
+
+Wall-clock around a single dispatch measures tunnel/dispatch latency, not the
+chip (the axon path has multi-ms dispatch and unreliable async completion).
+`device_seconds_per_iter` instead runs K dependent iterations of the op inside
+ONE jitted `lax.fori_loop` program and reads one element back, for two values
+of K; the slope (T_hi - T_lo) / (K_hi - K_lo) cancels dispatch, compile and
+readback overhead and yields pure device time per iteration.
+
+The op must be shape-preserving (out pytree same shapes as in) so iterations
+chain data-dependently — this is what prevents XLA from hoisting or CSE-ing
+identical iterations out of the loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _chained_program(fn: Callable, k: int):
+    @jax.jit
+    def run(args):
+        def body(i, a):
+            out = fn(*a)
+            out = out if isinstance(out, tuple) else (out,)
+            # barrier: stop XLA fusing/unrolling consecutive iterations into a
+            # single memory pass (which would under-report elementwise ops)
+            return lax.optimization_barrier(out)
+
+        return lax.fori_loop(0, k, body, args)
+
+    return run
+
+
+def _run_once(prog, args) -> float:
+    t0 = time.perf_counter()
+    out = prog(args)
+    # force completion through a tiny host readback of every leaf's first elem
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf.ravel()[:1])
+    return time.perf_counter() - t0
+
+
+def device_seconds_per_iter(
+    fn: Callable,
+    args,
+    k_lo: int = 3,
+    k_hi: int = 13,
+    repeats: int = 2,
+) -> float:
+    """Median device-seconds per application of `fn` (shape-preserving pytree->
+    pytree)."""
+    args = args if isinstance(args, tuple) else (args,)
+    lo = _chained_program(fn, k_lo)
+    hi = _chained_program(fn, k_hi)
+    # warm both compiles
+    _run_once(lo, args)
+    _run_once(hi, args)
+    slopes = []
+    for _ in range(repeats):
+        t_lo = _run_once(lo, args)
+        t_hi = _run_once(hi, args)
+        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
+    return max(float(np.median(slopes)), 1e-9)

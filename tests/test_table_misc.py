@@ -1,0 +1,107 @@
+"""Table, profiler, device, config, and example-flow tests."""
+
+import numpy as np
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import kernels as K
+from arrow_tpu.table import RecordBatch
+
+
+def test_record_batch_basics():
+    rb = RecordBatch.from_numpy(
+        {"a": np.int32([1, 2, 3]), "b": np.float32([0.5, 1.5, 2.5])}
+    )
+    assert rb.num_rows == 3 and rb.num_columns == 2
+    assert rb.column_names == ["a", "b"]
+    assert rb.schema == [("a", at.ArrowType.INT32), ("b", at.ArrowType.FLOAT32)]
+    assert "a" in rb
+    sel = rb.select(["b"])
+    assert sel.column_names == ["b"]
+    r2 = rb.with_column("c", at.Int32Array.from_slice([7, 8, 9]))
+    assert r2["c"].values() == [7, 8, 9]
+    r3 = rb.rename({"a": "x"})
+    assert r3.column_names == ["x", "b"]
+    idx = at.UInt32Array.from_slice(np.array([2, 0], np.uint32))
+    taken = rb.take(idx)
+    assert taken["a"].values() == [3, 1]
+    d = rb.to_pydict()
+    assert d["a"] == [1, 2, 3]
+
+
+def test_record_batch_length_mismatch():
+    with pytest.raises(at.ArrowTpuError):
+        RecordBatch(
+            {
+                "a": at.Int32Array.from_slice([1]),
+                "b": at.Int32Array.from_slice([1, 2]),
+            }
+        )
+
+
+def test_profiler():
+    from arrow_tpu.runtime import profiler
+
+    profiler.reset()
+    at.config.profile = True
+    try:
+        a = at.Float32Array.from_slice([1.0, 2.0])
+        K.add_scalar(a, 1.0).values()
+        with at.ComputePipeline() as p:
+            K.mul_scalar_op(a, 2.0, p)
+    finally:
+        at.config.profile = False
+    t = profiler.timings()
+    assert any("add_scalar" in k for k in t)
+    assert any("pipeline" in k for k in t)
+    assert profiler.summary()
+    profiler.reset()
+    assert profiler.timings() == {}
+
+
+def test_device_api():
+    d = at.default_device()
+    assert d.platform in ("cpu", "tpu")
+    buf = d.put(np.float32([1, 2, 3]))
+    np.testing.assert_array_equal(d.get(buf), np.float32([1, 2, 3]))
+    d.synchronize()
+    assert isinstance(d.memory_stats(), dict)
+
+
+def test_config():
+    assert at.config.lanes == 128
+    old = at.config.block_rows
+    at.set_config(block_rows=4096)
+    assert at.config.block_rows == 4096
+    at.set_config(block_rows=old)
+    with pytest.raises(AttributeError):
+        at.set_config(bogus=1)
+
+
+def test_example_flows_run():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "simple_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "simple.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.run_eager_ops()
+    mod.run_compute_pipeline_ops()
+    mod.run_operator_tier()
+
+
+def test_native_host_runtime_if_built():
+    from arrow_tpu.runtime import native
+
+    if not native.have_native():
+        pytest.skip("csrc not built")
+    import numpy as np
+
+    mask = np.random.default_rng(1).random(999) < 0.3
+    from arrow_tpu.utils import bits as B
+
+    w = B.pack_bits_np(mask, 32)
+    np.testing.assert_array_equal(B.unpack_bits_np(w, 999), mask)
