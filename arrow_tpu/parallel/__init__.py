@@ -8,6 +8,7 @@ BASELINE.md north star.
 from .distributed_ops import (
     distributed_aggregate,
     distributed_filter,
+    distributed_join,
     distributed_join_indices,
     distributed_sort,
     distributed_sum,
@@ -22,6 +23,7 @@ __all__ = [
     "ShardedColumn",
     "distributed_aggregate",
     "distributed_filter",
+    "distributed_join",
     "distributed_join_indices",
     "distributed_sort",
     "distributed_sum",

@@ -213,19 +213,73 @@ def _dist_groupby_program(mesh_key, axis, cap, key_dt: str, key_has_v: bool, agg
     )
 
 
+def _local_aggregate(sb, key, aggregations):
+    """Shard-local group-by (no collectives): the skew-aware pre-aggregation
+    stage — heavy-hitter keys collapse to ONE row per shard before the
+    shuffle, so the exchange volume is bounded by shards x distinct keys."""
+    rt = sb.runtime
+    kcol = sb.columns[key]
+    agg_spec = []
+    bufs: List = []
+    if kcol.validity is not None:
+        bufs.append(kcol.validity)
+    for name, vc, kind in aggregations:
+        if vc is None:
+            agg_spec.append(("count_all", "", False))
+            continue
+        col = sb.columns[vc]
+        agg_spec.append((kind, str(col.data.dtype), col.validity is not None))
+        bufs.append(col.data)
+        if col.validity is not None:
+            bufs.append(col.validity)
+    prog = _dist_groupby_program(
+        _mesh_for(rt), rt.axis, sb.capacity, str(kcol.data.dtype),
+        kcol.validity is not None, tuple(agg_spec),
+    )
+    outs = prog(sb.counts, kcol.data, *bufs)
+    return outs, kcol
+
+
 def distributed_aggregate(
     sb: ShardedBatch,
     key: str,
     aggregations: Sequence[Tuple[str, Optional[str], str]],
     pre_partitioned: bool = False,
+    pre_aggregate: bool = True,
     bucket_rows: Optional[int] = None,
 ) -> ShardedBatch:
-    """GROUP BY across the mesh: hash-partition by key (one all-to-all), then
-    shard-local sort-based grouping — groups never span shards afterwards.
+    """GROUP BY across the mesh: (optionally) pre-aggregate each shard
+    locally, hash-partition the partials by key (one all-to-all), then combine
+    per shard — groups never span shards afterwards.
+
+    Pre-aggregation is the skew-aware path (BASELINE "heavy-hitter skew"
+    config): a key held by every row still ships at most P partial rows.  It
+    applies when every aggregation decomposes (sum/count/min/max/mean);
+    otherwise the raw rows are shuffled.
 
     aggregations: (out_name, value_column_name | None, kind).
     Returns a ShardedBatch of group rows {key, *outputs}.
     """
+    decomposable = all(k in ("sum", "count", "min", "max") for _, _, k in aggregations)
+    if pre_aggregate and decomposable and not pre_partitioned:
+        outs, kcol = _local_aggregate(sb, key, aggregations)
+        # build a partial-rows batch: key + one partial column per aggregation
+        pcols = {"key": ShardedColumn(outs[1], None, kcol.dtype)}
+        combine_aggs = []
+        for (name, vc, kind), buf in zip(aggregations, outs[2:]):
+            if kind == "count":
+                pdt = dt.ArrowType.INT64
+            else:
+                pdt = sb.columns[vc].dtype
+            pcols[name] = ShardedColumn(buf, None, pdt)
+            # counts combine by summation in the second phase
+            combine_aggs.append((name, name, "sum" if kind == "count" else kind))
+        partial = ShardedBatch(pcols, outs[0], sb.runtime)
+        shuffled = hash_partition(partial, "key", bucket_rows=bucket_rows)
+        return distributed_aggregate(
+            shuffled, "key", combine_aggs, pre_partitioned=True, pre_aggregate=False
+        )
+
     if not pre_partitioned:
         sb = hash_partition(sb, key, bucket_rows=bucket_rows)
     rt = sb.runtime
@@ -374,6 +428,96 @@ def distributed_join_indices(
         build,
         probe,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_take_program(mesh_key, axis, src_cap, idx_cap, col_spec: tuple):
+    """Per-shard gather: out[j] = col[idx[j]] for every column at once."""
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(counts, idx, *bufs):
+        k = counts[0]
+        ix = idx.reshape(-1)
+        live = lax.broadcasted_iota(jnp.int32, (idx_cap,), 0) < k
+        outs = []
+        bi = 0
+        for name, dt_str, is_bool, has_validity in col_spec:
+            data = bufs[bi].reshape(bufs[bi].shape[-1])
+            bi += 1
+            vals = B.unpack_bits(data) if is_bool else data
+            taken = vals[ix]
+            outs.append(
+                B.pack_bits(taken & live)
+                if is_bool
+                else jnp.where(live, taken, jnp.zeros_like(taken))
+            )
+            if has_validity:
+                vw = bufs[bi].reshape(bufs[bi].shape[-1])
+                bi += 1
+                outs.append(B.pack_bits(B.unpack_bits(vw)[ix] & live))
+        return tuple(o[None] for o in outs)
+
+    n_bufs = sum(1 + s[3] for s in col_spec)
+    in_specs = (P(axis), P(axis, None), *[P(axis, None)] * n_bufs)
+    out_specs = tuple([P(axis, None)] * n_bufs)
+    return jax.jit(smap(per_shard, mesh, in_specs, out_specs))
+
+
+def _sharded_take(sb: ShardedBatch, idx: ShardedColumn, counts) -> Dict[str, ShardedColumn]:
+    rt = sb.runtime
+    col_spec = []
+    bufs: List = []
+    for n, col in sb.columns.items():
+        col_spec.append(
+            (n, str(col.data.dtype), col.dtype is dt.ArrowType.BOOL, col.validity is not None)
+        )
+        bufs.append(col.data)
+        if col.validity is not None:
+            bufs.append(col.validity)
+    prog = _dist_take_program(
+        _mesh_for(rt), rt.axis, sb.capacity, int(idx.data.shape[1]), tuple(col_spec)
+    )
+    outs = prog(counts, idx.data, *bufs)
+    out_cols: Dict[str, ShardedColumn] = {}
+    oi = 0
+    for n, dt_str, is_bool, has_validity in col_spec:
+        data = outs[oi]
+        oi += 1
+        v = None
+        if has_validity:
+            v = outs[oi]
+            oi += 1
+        out_cols[n] = ShardedColumn(data, v, sb.columns[n].dtype)
+    return out_cols
+
+
+def distributed_join(
+    left: ShardedBatch,
+    right: ShardedBatch,
+    left_on: str,
+    right_on: str,
+    out_capacity: Optional[int] = None,
+    bucket_rows: Optional[int] = None,
+    suffixes: Tuple[str, str] = ("_l", "_r"),
+    check: bool = True,
+) -> ShardedBatch:
+    """Distributed inner equi-join returning the joined ShardedBatch (payload
+    columns gathered per shard); `right` is the build side."""
+    counts, pidx, bidx, pb, pp_ = distributed_join_indices(
+        right, left, right_on, left_on,
+        out_capacity=out_capacity, bucket_rows=bucket_rows, check=check,
+    )
+    lcols = _sharded_take(pp_, pidx, counts)
+    rcols = _sharded_take(pb, bidx, counts)
+    cols: Dict[str, ShardedColumn] = {}
+    for n, c in lcols.items():
+        clash = n in right.column_names and not (n == left_on and n == right_on)
+        cols[n + suffixes[0] if clash else n] = c
+    for n, c in rcols.items():
+        if n == right_on and left_on == right_on:
+            continue
+        cols[n + suffixes[1] if n in left.column_names else n] = c
+    return ShardedBatch(cols, counts, left.runtime)
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,59 @@ def test_skewed_shuffle_overflow_detection(rt):
     # with enough slack it succeeds
     out = PP.hash_partition(sb, "k", bucket_rows=sb.capacity, out_capacity=16 * 1024)
     assert out.num_rows() == n
+
+
+def test_distributed_join_payload(rt):
+    rng = np.random.default_rng(21)
+    left = PP.shard_batch(
+        RecordBatch.from_numpy(
+            {"k": rng.integers(0, 500, 3000).astype(np.uint64),
+             "lv": np.arange(3000, dtype=np.int32)}
+        ),
+        rt,
+    )
+    right = PP.shard_batch(
+        RecordBatch.from_numpy(
+            {"k": np.arange(500, dtype=np.uint64),
+             "rv": (np.arange(500) * 10).astype(np.int32)}
+        ),
+        rt,
+    )
+    out = PP.distributed_join(left, right, "k", "k", out_capacity=16 * 1024)
+    back = PP.gather_batch(out)
+    ks = np.asarray(back["k"].raw_values())
+    rvs = np.asarray(back["rv"].raw_values())
+    lvs = np.asarray(back["lv"].raw_values())
+    assert out.num_rows() == 3000  # unique build keys -> one match per probe row
+    np.testing.assert_array_equal(rvs, ks * 10)
+    # every (k, lv) pair of the left table appears exactly once
+    assert sorted(zip(ks.tolist(), lvs.tolist())) == sorted(
+        zip(np.asarray(PP.gather_batch(left)["k"].raw_values()).tolist(),
+            np.asarray(PP.gather_batch(left)["lv"].raw_values()).tolist())
+    )
+
+
+def test_distributed_aggregate_no_preagg_matches(rt):
+    rb, keys, vals = _batch(20_000, seed=31)
+    sb = PP.shard_batch(rb, rt)
+    a1 = PP.gather_batch(PP.distributed_aggregate(sb, "k", [("s", "v", "sum")]))
+    a2 = PP.gather_batch(
+        PP.distributed_aggregate(sb, "k", [("s", "v", "sum")], pre_aggregate=False)
+    )
+    assert sorted(zip(a1["key"].values(), a1["s"].values())) == sorted(
+        zip(a2["key"].values(), a2["s"].values())
+    )
+
+
+def test_distributed_aggregate_extreme_skew(rt):
+    # one key owns 95% of rows: pre-aggregation keeps the shuffle balanced
+    n = 40_000
+    keys = np.where(np.random.default_rng(5).random(n) < 0.95, 7, 13).astype(np.uint32)
+    vals = np.ones(n, np.int32)
+    sb = PP.shard_batch(RecordBatch.from_numpy({"k": keys, "v": vals}), rt)
+    out = PP.gather_batch(
+        PP.distributed_aggregate(sb, "k", [("c", "v", "sum")], bucket_rows=1024)
+    )
+    got = dict(zip(out["key"].values(), out["c"].values()))
+    assert got[7] == int((keys == 7).sum())
+    assert got[13] == int((keys == 13).sum())
