@@ -117,6 +117,16 @@ def join_indices(
             raise OperationNotSupported(f"join key dtype {k.dtype.value} unsupported")
     if build_keys.dtype is not probe_keys.dtype:
         raise OperationNotSupported("join key dtypes must match")
+    if build_keys.length == 0 or probe_keys.length == 0:
+        import jax.numpy as _jnp
+
+        empty = _jnp.zeros((0,), _jnp.uint32)
+        dev = probe_keys.device
+        return (
+            make_array(empty, None, 0, dt.ArrowType.UINT32, dev),
+            make_array(empty, None, 0, dt.ArrowType.UINT32, dev),
+            0,
+        )
     spec = (
         int(build_keys.data.shape[0]), build_keys.length, build_keys.validity is not None,
         int(probe_keys.data.shape[0]), probe_keys.length, probe_keys.validity is not None,

@@ -105,3 +105,27 @@ def test_native_host_runtime_if_built():
 
     w = B.pack_bits_np(mask, 32)
     np.testing.assert_array_equal(B.unpack_bits_np(w, 999), mask)
+
+
+def test_io_arrow_buffers_roundtrip(tmp_path):
+    from arrow_tpu import io as aio
+    from arrow_tpu.table import RecordBatch
+
+    rb = RecordBatch(
+        {
+            "x": at.Int32Array.from_optional_slice([1, None, 3, 4]),
+            "f": at.Float32Array.from_slice([0.5, 1.5, 2.5, 3.5]),
+            "b": at.BooleanArray.from_optional_slice([True, False, None, True]),
+        }
+    )
+    ex = aio.to_arrow_buffers(rb["x"])
+    assert ex["length"] == 4 and ex["validity"] is not None
+    back = aio.from_arrow_buffers(ex["data"], 4, ex["validity"], at.ArrowType.INT32)
+    assert back.values() == [1, None, 3, 4]
+
+    p = str(tmp_path / "t.npz")
+    aio.save_table(p, rb)
+    rb2 = aio.load_table(p)
+    assert rb2["x"].values() == [1, None, 3, 4]
+    assert rb2["f"].values() == [0.5, 1.5, 2.5, 3.5]
+    assert rb2["b"].values() == [True, False, None, True]
