@@ -7,7 +7,7 @@ provides (take/put gathers, Sum reduction, bit-packed masks — SURVEY.md §2).
 from .filter import filter, filter_count, filter_indices
 from .hash_aggregate import hash_aggregate
 from .join import hash_join, join_indices
-from .sort import argsort, sort, sort_by_key
+from .sort import argsort, lex_sort, sort, sort_by_key
 
 __all__ = [
     "argsort",
@@ -17,6 +17,7 @@ __all__ = [
     "hash_aggregate",
     "hash_join",
     "join_indices",
+    "lex_sort",
     "sort",
     "sort_by_key",
 ]

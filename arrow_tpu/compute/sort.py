@@ -124,6 +124,49 @@ def sort_by_key(
     return sort(keys, descending), None
 
 
+def lex_sort(
+    keys: "list[ArrowArrayBase]",
+    payload: Union[ArrowArrayBase, RecordBatch, None] = None,
+    descending: bool = False,
+):
+    """Lexicographic multi-key stable sort (first key most significant).
+
+    Extension beyond the reference (which has no sort at all); one fused
+    `lax.sort` carries all key columns and the row permutation.
+    """
+    if not keys:
+        raise OperationNotSupported("lex_sort needs at least one key column")
+    for k in keys:
+        if k.dtype not in _SORTABLE or k.validity is not None:
+            raise OperationNotSupported("lex_sort keys must be non-null primitives")
+    n = keys[0].length
+    npad = keys[0].data.shape[0]
+    idx = lax.broadcasted_iota(jnp.int32, (npad,), 0)
+    rank = jnp.where(idx < n, 0, 1).astype(jnp.int32)
+    ops = [rank]
+    for k in keys:
+        kd = k.data
+        if descending:
+            if jnp.issubdtype(kd.dtype, jnp.floating):
+                kd = -kd
+            else:
+                kd = ~kd
+        ops.append(kd)
+    rows = lax.broadcasted_iota(jnp.uint32, (npad,), 0)
+    ops.append(rows)
+    out = lax.sort(ops, num_keys=1 + len(keys), is_stable=True)
+    order = make_array(out[-1], None, n, dt.ArrowType.UINT32, keys[0].device)
+    from ..kernels import take as _take
+
+    sorted_keys = [_take(k, order) for k in keys]
+    if payload is None:
+        return sorted_keys, None, order
+    sorted_payload = (
+        payload.take(order) if isinstance(payload, RecordBatch) else _take(payload, order)
+    )
+    return sorted_keys, sorted_payload, order
+
+
 def _wrap_sorted_keys(keys, sorted_data, order, descending):
     if keys.validity is None and not descending:
         return make_array(sorted_data, None, keys.length, keys.dtype, keys.device)

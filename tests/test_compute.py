@@ -256,3 +256,17 @@ def test_join_large_differential():
     pi_np = np.asarray(pi.raw_values())[:t]
     bi_np = np.asarray(bi.raw_values())[:t]
     np.testing.assert_array_equal(pk[pi_np], bk[bi_np])
+
+
+def test_lex_sort():
+    k1 = at.UInt32Array.from_slice(np.array([2, 1, 2, 1], np.uint32))
+    k2 = at.Int32Array.from_slice([5, 9, 3, 7])
+    p = at.Float32Array.from_slice([0.1, 0.2, 0.3, 0.4])
+    keys, payload, order = C.lex_sort([k1, k2], p)
+    assert keys[0].values() == [1, 1, 2, 2]
+    assert keys[1].values() == [7, 9, 3, 5]
+    assert order.values() == [3, 1, 2, 0]
+    assert_values_eq(payload.values(), [0.4, 0.2, 0.3, 0.1], 0.01)
+    keys_d, _, _ = C.lex_sort([k1, k2], descending=True)
+    assert keys_d[0].values() == [2, 2, 1, 1]
+    assert keys_d[1].values() == [5, 3, 9, 7]
