@@ -321,6 +321,37 @@ def distributed_aggregate(
 # ---------------------------------------------------------------------------
 
 
+def join_shard_local(bcap, pcap, out_cap, bc, bk, bvalid, pc, pk, pvalid):
+    """Traced per-shard sort-probe inner join (reused by the fused program).
+
+    Returns (k, overflow, probe_idx, build_idx, live) where indices are local
+    row ids and `live` masks the first k output slots.
+    """
+    maxval = jnp.iinfo(bk.dtype).max
+    nkeys = jnp.where(bvalid, bk, jnp.asarray(maxval, bk.dtype))
+    rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
+    rows = lax.broadcasted_iota(jnp.uint32, (bcap,), 0)
+    _, skey, sorder = lax.sort([rank, nkeys, rows], num_keys=2, is_stable=True)
+    nb = jnp.sum(bvalid, dtype=jnp.int32)
+    lo = jnp.minimum(jnp.searchsorted(skey, pk, side="left", method="sort"), nb)
+    hi = jnp.minimum(jnp.searchsorted(skey, pk, side="right", method="sort"), nb)
+    cnt = jnp.where(pvalid, hi - lo, 0).astype(jnp.int64)
+    offsets = jnp.cumsum(cnt) - cnt
+    total = jnp.sum(cnt)
+    j = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
+    pi = jnp.minimum(
+        jnp.searchsorted(offsets + cnt, j, side="right", method="sort"), pcap - 1
+    )
+    r = j - offsets[pi]
+    bpos = jnp.clip(lo[pi].astype(jnp.int64) + r, 0, bcap - 1)
+    bi_rows = sorder[bpos]
+    live = j < jnp.minimum(total, out_cap)
+    probe_idx = jnp.where(live, pi, 0).astype(jnp.uint32)
+    build_idx = jnp.where(live, bi_rows, 0).astype(jnp.uint32)
+    k = jnp.minimum(total, out_cap).astype(jnp.int32)
+    return k, total > out_cap, probe_idx, build_idx, live
+
+
 @functools.lru_cache(maxsize=None)
 def _dist_join_program(mesh_key, axis, bcap, pcap, out_cap, key_dt, bv, pv):
     mesh = _MESHES[mesh_key]
@@ -331,27 +362,9 @@ def _dist_join_program(mesh_key, axis, bcap, pcap, out_cap, key_dt, bv, pv):
         pk = pkeys.reshape(-1)
         bvalid = _valid_local(bcap, bc, None if bvalidity is None else bvalidity.reshape(-1))
         pvalid = _valid_local(pcap, pc, None if pvalidity is None else pvalidity.reshape(-1))
-        maxval = jnp.iinfo(bk.dtype).max
-        nkeys = jnp.where(bvalid, bk, jnp.asarray(maxval, bk.dtype))
-        rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
-        rows = lax.broadcasted_iota(jnp.uint32, (bcap,), 0)
-        _, skey, sorder = lax.sort([rank, nkeys, rows], num_keys=2, is_stable=True)
-        nb = jnp.sum(bvalid, dtype=jnp.int32)
-        lo = jnp.minimum(jnp.searchsorted(skey, pk, side="left", method="sort"), nb)
-        hi = jnp.minimum(jnp.searchsorted(skey, pk, side="right", method="sort"), nb)
-        cnt = jnp.where(pvalid, hi - lo, 0).astype(jnp.int64)
-        offsets = jnp.cumsum(cnt) - cnt
-        total = jnp.sum(cnt)
-        j = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
-        pi = jnp.minimum(jnp.searchsorted(offsets + cnt, j, side="right", method="sort"), pcap - 1)
-        r = j - offsets[pi]
-        bpos = jnp.clip(lo[pi].astype(jnp.int64) + r, 0, bcap - 1)
-        bi_rows = sorder[bpos]
-        live = j < jnp.minimum(total, out_cap)
-        probe_idx = jnp.where(live, pi, 0).astype(jnp.uint32)
-        build_idx = jnp.where(live, bi_rows, 0).astype(jnp.uint32)
-        k = jnp.minimum(total, out_cap).astype(jnp.int32)
-        overflow = total > out_cap
+        k, overflow, probe_idx, build_idx, _ = join_shard_local(
+            bcap, pcap, out_cap, bc, bk, bvalid, pc, pk, pvalid
+        )
         return k[None], overflow[None], probe_idx[None], build_idx[None]
 
     def mk(has_bv, has_pv):
@@ -491,6 +504,104 @@ def _sharded_take(sb: ShardedBatch, idx: ShardedColumn, counts) -> Dict[str, Sha
     return out_cols
 
 
+def _batch_col_layout(sb: ShardedBatch, key: str):
+    """(col_spec, bufs) with the key column first; spec rows are
+    (name, dtype_str, is_bool, has_validity)."""
+    names = [key] + [n for n in sb.columns if n != key]
+    spec = []
+    bufs: List = []
+    for n in names:
+        col = sb.columns[n]
+        spec.append(
+            (n, str(col.data.dtype), col.dtype is dt.ArrowType.BOOL, col.validity is not None)
+        )
+        bufs.append(col.data)
+        if col.validity is not None:
+            bufs.append(col.validity)
+    return tuple(spec), bufs
+
+
+def _shard_payloads(spec, bufs):
+    """Unpack shard-local buffers into (values, is_bool) payloads; the key's
+    values come first, each column's validity rides as an extra bool payload."""
+    payloads = []
+    bi = 0
+    for name, dt_str, is_bool, has_validity in spec:
+        data = bufs[bi].reshape(bufs[bi].shape[-1])
+        bi += 1
+        payloads.append((B.unpack_bits(data) if is_bool else data, is_bool))
+        if has_validity:
+            vw = bufs[bi].reshape(bufs[bi].shape[-1])
+            bi += 1
+            payloads.append((B.unpack_bits(vw), True))
+    return payloads
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_join_program(
+    mesh_key, axis, p, bcap, pcap, bbucket, pbucket, bout, pout, out_cap,
+    bspec: tuple, pspec: tuple,
+):
+    """ONE program: build-side exchange + probe-side exchange + local join +
+    payload gather.  XLA's async collective scheduler overlaps each side's
+    all-to-all with the other side's route sort and the build-side key sort —
+    the XLA-native form of the BASELINE "double-buffered exchange overlapping
+    probe compute"."""
+    from ..parallel.shuffle import shuffle_shard_local
+
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(bcounts, pcounts, *bufs):
+        nb_bufs = sum(1 + s[3] for s in bspec)
+        bbufs, pbufs = bufs[:nb_bufs], bufs[nb_bufs:]
+        bpay = _shard_payloads(bspec, bbufs)
+        ppay = _shard_payloads(pspec, pbufs)
+        bc, b_over, b_outs = shuffle_shard_local(
+            axis, p, bcap, bbucket, bout, bcounts[0], bpay[0][0], bpay
+        )
+        pc, p_over, p_outs = shuffle_shard_local(
+            axis, p, pcap, pbucket, pout, pcounts[0], ppay[0][0], ppay
+        )
+
+        # validity bools of the key columns (exchanged alongside) if present
+        def key_valid(spec, outs, cap_, c_):
+            base = _valid_local(cap_, c_)
+            if spec[0][3]:
+                return outs[1] & base
+            return base
+
+        bvalid = key_valid(bspec, b_outs, bout, bc)
+        pvalid = key_valid(pspec, p_outs, pout, pc)
+        k, j_over, probe_idx, build_idx, live = join_shard_local(
+            bout, pout, out_cap, bc, b_outs[0], bvalid, pc, p_outs[0], pvalid
+        )
+
+        # gather every column of both sides by its match indices
+        def gather_side(spec, outs, idx):
+            res = []
+            oi = 0
+            for name, dt_str, is_bool, has_validity in spec:
+                vals = outs[oi][idx]
+                oi += 1
+                res.append(B.pack_bits(vals & live) if is_bool else jnp.where(live, vals, jnp.zeros_like(vals)))
+                if has_validity:
+                    res.append(B.pack_bits(outs[oi][idx] & live))
+                    oi += 1
+            return res
+
+        out_cols = gather_side(pspec, p_outs, probe_idx) + gather_side(
+            bspec, b_outs, build_idx
+        )
+        overflow = b_over | p_over | j_over
+        return (k[None], overflow[None], *[o[None] for o in out_cols])
+
+    nb_bufs = sum(1 + s[3] for s in bspec)
+    np_bufs = sum(1 + s[3] for s in pspec)
+    in_specs = (P(axis), P(axis), *[P(axis, None)] * (nb_bufs + np_bufs))
+    out_specs = (P(axis), P(axis), *[P(axis, None)] * (nb_bufs + np_bufs))
+    return jax.jit(smap(per_shard, mesh, in_specs, out_specs))
+
+
 def distributed_join(
     left: ShardedBatch,
     right: ShardedBatch,
@@ -500,9 +611,69 @@ def distributed_join(
     bucket_rows: Optional[int] = None,
     suffixes: Tuple[str, str] = ("_l", "_r"),
     check: bool = True,
+    fused: bool = True,
 ) -> ShardedBatch:
-    """Distributed inner equi-join returning the joined ShardedBatch (payload
-    columns gathered per shard); `right` is the build side."""
+    """Distributed inner equi-join returning the joined ShardedBatch; `right`
+    is the build side.
+
+    fused=True runs partition(build) + partition(probe) + local join + payload
+    gather as ONE XLA program (overlapped collectives); fused=False composes
+    the standalone shuffle and join programs.
+    """
+    if fused:
+        rt = left.runtime
+        p = rt.num_shards
+        bcol, pcol = right.columns[right_on], left.columns[left_on]
+        if bcol.dtype is not pcol.dtype or not dt.is_integer(bcol.dtype):
+            raise OperationNotSupported("join keys must be matching integer dtypes")
+        from ..array.array import pad_len
+
+        bcap, pcap = right.capacity, left.capacity
+        bbucket = min(bucket_rows or max(1024, -(-bcap // p) * 4), bcap)
+        pbucket = min(bucket_rows or max(1024, -(-pcap // p) * 4), pcap)
+        bout, pout = pad_len(2 * bcap), pad_len(2 * pcap)
+        out_cap = out_capacity or max(bout, pout)
+        bspec, bbufs = _batch_col_layout(right, right_on)
+        pspec, pbufs = _batch_col_layout(left, left_on)
+        prog = _fused_join_program(
+            _mesh_for(rt), rt.axis, p, bcap, pcap, bbucket, pbucket, bout, pout,
+            out_cap, bspec, pspec,
+        )
+        outs = prog(right.counts, left.counts, *bbufs, *pbufs)
+        counts, overflow = outs[0], outs[1]
+        if check and bool(jnp.any(overflow)):
+            raise ArrowTpuError(
+                "fused join overflow — raise bucket_rows/out_capacity"
+            )
+        cols: Dict[str, ShardedColumn] = {}
+        oi = 2
+
+        def unpack_side(spec, src_batch, is_probe):
+            nonlocal oi
+            for name, dt_str, is_bool, has_validity in spec:
+                data = outs[oi]
+                oi += 1
+                v = None
+                if has_validity:
+                    v = outs[oi]
+                    oi += 1
+                if not is_probe and name == right_on and left_on == right_on:
+                    continue  # key already present from the probe side
+                if is_probe:
+                    clash = name in right.column_names and not (
+                        name == left_on and name == right_on
+                    )
+                    out_name = name + suffixes[0] if clash else name
+                else:
+                    out_name = (
+                        name + suffixes[1] if name in left.column_names else name
+                    )
+                cols[out_name] = ShardedColumn(data, v, src_batch.columns[name].dtype)
+
+        unpack_side(pspec, left, True)
+        unpack_side(bspec, right, False)
+        return ShardedBatch(cols, counts, rt)
+
     counts, pidx, bidx, pb, pp_ = distributed_join_indices(
         right, left, right_on, left_on,
         out_capacity=out_capacity, bucket_rows=bucket_rows, check=check,

@@ -70,6 +70,63 @@ def _col_to_bools(col_data, is_bool):
     return B.unpack_bits(col_data) if is_bool else col_data
 
 
+def shuffle_shard_local(axis, p, cap, bucket, out_cap, c, key_data, payloads):
+    """Traced per-shard hash-partition exchange, reusable inside any shard_map
+    program (the fused distributed join composes two of these with the local
+    probe so XLA overlaps both all-to-alls with the sort/probe compute).
+
+    key_data: (cap,) routing keys; payloads: list of (values, is_bool) where
+    values is a (cap,) value array (bools already unpacked).  Returns
+    (new_count, overflow, out_values list aligned with payloads).
+    """
+    n_idx = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    valid = n_idx < c
+
+    # -- route -------------------------------------------------------------
+    t = jnp.where(valid, (hash_key(key_data) % jnp.uint32(p)).astype(jnp.int32), p)
+    rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
+    t_s, order = lax.sort([t, rows], num_keys=1, is_stable=True)
+
+    cnt = jnp.zeros((p + 1,), jnp.int32).at[t].add(1)[:p]
+    starts = jnp.cumsum(cnt) - cnt
+    over_send = jnp.any(cnt > bucket)
+
+    # (p, bucket) gather map into the dest-grouped ordering
+    j_ids = lax.broadcasted_iota(jnp.int32, (p, bucket), 1)
+    slot_live = j_ids < jnp.minimum(cnt, bucket)[:, None]
+    gidx = jnp.clip(starts[:, None] + j_ids, 0, cap - 1)
+    src_rows = order[gidx]  # (p, bucket) local row ids to send
+
+    # -- exchange ----------------------------------------------------------
+    rcnt = lax.all_to_all(
+        jnp.minimum(cnt, bucket)[:, None], axis, 0, 0, tiled=False
+    ).reshape(p)
+    roff = jnp.cumsum(rcnt) - rcnt
+    total = jnp.sum(rcnt)
+    over_recv = total > out_cap
+
+    # output compaction map: slot i <- (source shard s, rank j)
+    out_i = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
+    s_of = jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right", method="sort")
+    s_of = jnp.minimum(s_of, p - 1)
+    j_of = (out_i - roff[s_of]).astype(jnp.int32)
+    j_of = jnp.clip(j_of, 0, bucket - 1)
+    live_out = out_i < jnp.minimum(total, out_cap)
+
+    outs = []
+    for vals, is_bool in payloads:
+        send = vals[src_rows] & slot_live if is_bool else vals[src_rows]
+        recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
+        out_vals = recv[s_of, j_of]
+        if is_bool:
+            outs.append(out_vals & live_out)
+        else:
+            outs.append(jnp.where(live_out, out_vals, jnp.zeros_like(out_vals)))
+
+    new_count = jnp.minimum(total, out_cap).astype(jnp.int32)
+    return new_count, over_send | over_recv, outs
+
+
 @functools.lru_cache(maxsize=None)
 def _shuffle_program(
     mesh_key, axis: str, p: int, cap: int, bucket: int, out_cap: int, col_spec: tuple
@@ -80,65 +137,23 @@ def _shuffle_program(
 
     def per_shard(counts, *bufs):
         c = counts[0]
-        n_idx = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-        valid = n_idx < c
-
-        # -- route ---------------------------------------------------------
         key_data = bufs[0].reshape(-1)
-        t = jnp.where(valid, (hash_key(key_data) % jnp.uint32(p)).astype(jnp.int32), p)
-        rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
-        t_s, order = lax.sort([t, rows], num_keys=1, is_stable=True)
 
-        cnt = jnp.zeros((p + 1,), jnp.int32).at[t].add(1)[:p]
-        starts = jnp.cumsum(cnt) - cnt
-        over_send = jnp.any(cnt > bucket)
-
-        # (p, bucket) gather map into the dest-grouped ordering
-        d_ids = lax.broadcasted_iota(jnp.int32, (p, bucket), 0)
-        j_ids = lax.broadcasted_iota(jnp.int32, (p, bucket), 1)
-        slot_live = j_ids < jnp.minimum(cnt, bucket)[:, None]
-        gidx = jnp.clip(starts[:, None] + j_ids, 0, cap - 1)
-        src_rows = order[gidx]  # (p, bucket) local row ids to send
-
-        # -- exchange ------------------------------------------------------
-        rcnt = lax.all_to_all(
-            jnp.minimum(cnt, bucket)[:, None], axis, 0, 0, tiled=False
-        ).reshape(p)
-        roff = jnp.cumsum(rcnt) - rcnt
-        total = jnp.sum(rcnt)
-        over_recv = total > out_cap
-
-        # output compaction map: slot i <- (source shard s, rank j)
-        out_i = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)
-        s_of = jnp.searchsorted(jnp.cumsum(rcnt), out_i, side="right", method="sort")
-        s_of = jnp.minimum(s_of, p - 1)
-        j_of = (out_i - roff[s_of]).astype(jnp.int32)
-        j_of = jnp.clip(j_of, 0, bucket - 1)
-        live_out = out_i < jnp.minimum(total, out_cap)
-
-        out_bufs = []
+        payloads = []
         bi = 0
         for name, dt_str, is_bool, has_validity in col_spec:
             data = bufs[bi].reshape(bufs[bi].shape[-1])
             bi += 1
-            vals = _col_to_bools(data, is_bool)
-            send = vals[src_rows] & slot_live if is_bool else vals[src_rows]
-            recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
-            out_vals = recv[s_of, j_of]
-            if is_bool:
-                out_bufs.append(B.pack_bits(out_vals & live_out))
-            else:
-                out_bufs.append(jnp.where(live_out, out_vals, jnp.zeros_like(out_vals)))
+            payloads.append((_col_to_bools(data, is_bool), is_bool))
             if has_validity:
                 vwords = bufs[bi].reshape(bufs[bi].shape[-1])
                 bi += 1
-                vbits = B.unpack_bits(vwords)
-                vsend = vbits[src_rows] & slot_live
-                vrecv = lax.all_to_all(vsend, axis, 0, 0, tiled=False)
-                out_bufs.append(B.pack_bits(vrecv[s_of, j_of] & live_out))
+                payloads.append((B.unpack_bits(vwords), True))
 
-        new_count = jnp.minimum(total, out_cap).astype(jnp.int32)
-        overflow = over_send | over_recv
+        new_count, overflow, outs = shuffle_shard_local(
+            axis, p, cap, bucket, out_cap, c, key_data, payloads
+        )
+        out_bufs = [B.pack_bits(o) if b else o for o, (_, b) in zip(outs, payloads)]
         return (new_count[None], overflow[None], *[o[None] for o in out_bufs])
 
     in_specs = [P(axis)]

@@ -235,3 +235,26 @@ def test_distributed_aggregate_extreme_skew(rt):
     got = dict(zip(out["key"].values(), out["c"].values()))
     assert got[7] == int((keys == 7).sum())
     assert got[13] == int((keys == 13).sum())
+
+
+def test_distributed_join_fused_matches_unfused(rt):
+    rng = np.random.default_rng(33)
+    left = PP.shard_batch(
+        RecordBatch.from_numpy(
+            {"k": rng.integers(0, 300, 2500).astype(np.uint64),
+             "lv": rng.integers(0, 10**6, 2500).astype(np.int32)}
+        ),
+        rt,
+    )
+    right = PP.shard_batch(
+        RecordBatch.from_numpy(
+            {"k": rng.integers(0, 300, 1500).astype(np.uint64),
+             "rv": rng.integers(0, 10**6, 1500).astype(np.int32)}
+        ),
+        rt,
+    )
+    f = PP.gather_batch(PP.distributed_join(left, right, "k", "k", out_capacity=64 * 1024, fused=True))
+    u = PP.gather_batch(PP.distributed_join(left, right, "k", "k", out_capacity=64 * 1024, fused=False))
+    rows_f = sorted(zip(f["k"].values(), f["lv"].values(), f["rv"].values()))
+    rows_u = sorted(zip(u["k"].values(), u["lv"].values(), u["rv"].values()))
+    assert rows_f == rows_u and len(rows_f) > 0
