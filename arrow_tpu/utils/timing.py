@@ -41,9 +41,11 @@ def _chained_program(fn: Callable, k: int):
 def _run_once(prog, args) -> float:
     t0 = time.perf_counter()
     out = prog(args)
-    # force completion through a tiny host readback of every leaf's first elem
-    for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(leaf.ravel()[:1])
+    # force completion with ONE tiny readback: an XLA program's outputs are
+    # only available once the whole program finished, so the first leaf
+    # suffices (per-leaf readbacks each pay a full dispatch-path roundtrip)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
     return time.perf_counter() - t0
 
 
@@ -57,6 +59,7 @@ def device_seconds_per_iter(
     """Median device-seconds per application of `fn` (shape-preserving pytree->
     pytree)."""
     args = args if isinstance(args, tuple) else (args,)
+    k_lo, k_hi = int(k_lo), int(k_hi)
     lo = _chained_program(fn, k_lo)
     hi = _chained_program(fn, k_hi)
     # warm both compiles

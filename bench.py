@@ -46,8 +46,53 @@ def _hbm_bandwidth_bytes() -> float:
     return 819e9  # conservative default (also used on CPU smoke runs)
 
 
+_FRACS: dict = {}
+_DETAILS: dict = {}
+
+
+def _emit_final():
+    """Write the headline JSON from whatever metrics completed."""
+    fracs = [v for v in _FRACS.values()] or [1e-9]
+    headline = float(np.exp(np.mean(np.log(np.maximum(fracs, 1e-9)))))
+    _DETAILS["core4_geomean_roofline_frac"] = headline
+    _DETAILS["metrics_completed"] = sorted(_FRACS)
+    try:
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(_DETAILS, f, indent=2)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "core4_geomean_roofline_frac",
+                "value": round(headline, 4),
+                "unit": "fraction_of_hbm_roofline",
+                "vs_baseline": round(headline / 0.80, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _watchdog(deadline_s: float):
+    """Deployment paths with flaky dispatch links can wedge a measurement
+    forever; emit partial results and exit rather than produce nothing."""
+    import threading
+
+    def fire():
+        print(f"bench watchdog fired after {deadline_s}s", file=sys.stderr, flush=True)
+        _emit_final()
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     t_start = time.time()
+    _watchdog(float(os.environ.get("ARROW_TPU_BENCH_DEADLINE", "1500")))
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -62,18 +107,22 @@ def main():
     n_op = 1 << (20 if small else 24)  # 16M default for operator benches
 
     bw = _hbm_bandwidth_bytes()
-    details = {"device": str(jax.devices()[0]), "hbm_bytes_per_s": bw, "rows": n_op}
+    _DETAILS.update(
+        {"device": str(jax.devices()[0]), "hbm_bytes_per_s": bw, "rows": n_op}
+    )
 
-    def record(name, rows, seconds, bytes_moved):
+    def record(name, rows, seconds, bytes_moved, core=False):
         rows_s = rows / seconds
         frac = (bytes_moved / seconds) / bw
-        details[name] = {
+        _DETAILS[name] = {
             "rows_per_s": rows_s,
             "seconds_per_iter": seconds,
             "algorithmic_bytes": bytes_moved,
             "roofline_frac": frac,
             "gb_per_s": bytes_moved / seconds / 1e9,
         }
+        if core:
+            _FRACS[name] = frac
         print(
             f"{name}: {rows_s/1e9:.3f} Grows/s  {bytes_moved/seconds/1e9:.1f} GB/s "
             f"({frac*100:.0f}% of roofline)",
@@ -95,18 +144,6 @@ def main():
     def gen_f32(key, n):
         return jax.random.normal(key, (n,), dtype=jnp.float32)
 
-    # ---- reference-harness mirrors (elementwise tier) ---------------------
-    xf = gen_f32(kg, n_elem)
-    t = device_seconds_per_iter(lambda y: y * 1.0001 + 1.5, xf)
-    record("add_scalar_f32_10m", n_elem, t, n_elem * 8)
-
-    xu = gen_u32(kg, n_elem, 1000)
-    # chain: per-iter full reduction; re-materialize the array via broadcast add
-    t = device_seconds_per_iter(
-        lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)), xu
-    )
-    record("sum_u32_10m", n_elem, t, n_elem * 8)  # read + chained re-write
-
     # ---- operator 1: filter (predicate + compaction) ----------------------
     # every buffer is loop-carried (returned unchanged) so nothing becomes a
     # compile-time constant that XLA would fold out of the measurement
@@ -123,7 +160,7 @@ def main():
         return jnp.where(live, part, jnp.zeros_like(part)), mw
 
     t = device_seconds_per_iter(filter_step, (data, mwords))
-    f_filter = record("filter_i32_50pct", n_op, t, int(n_op * (4 + 0.125 + 2)))
+    f_filter = record("filter_i32_50pct", n_op, t, int(n_op * (4 + 0.125 + 2)), core=True)
 
     # ---- operator 2: sort (key + payload, stable) -------------------------
     keys = gen_u32(jax.random.key(2), n_op, 1 << 31)
@@ -134,7 +171,7 @@ def main():
         return out[0], out[1]
 
     t = device_seconds_per_iter(sort_step, (keys, payload))
-    f_sort = record("sort_u32_kv", n_op, t, n_op * 16)
+    f_sort = record("sort_u32_kv", n_op, t, n_op * 16, core=True)
 
     # ---- operator 3: hash aggregate (GROUP BY u32, sum+count) -------------
     gkeys = gen_u32(jax.random.key(4), n_op, 1 << 20)
@@ -153,7 +190,7 @@ def main():
         return jnp.where(live, parts[0], jnp.zeros_like(parts[0])), v
 
     t = device_seconds_per_iter(agg_step, (gkeys, gvals))
-    f_agg = record("hash_agg_u32_1m_keys", n_op, t, n_op * 16)
+    f_agg = record("hash_agg_u32_1m_keys", n_op, t, n_op * 16, core=True)
 
     # ---- operator 4: hash join (u64 keys, count phase) --------------------
     nj = n_op // 2
@@ -168,26 +205,39 @@ def main():
         return p ^ (jnp.cumsum(cnt).astype(jnp.uint64) & jnp.uint64(1)), b
 
     t = device_seconds_per_iter(join_step, (pk, bk))
-    f_join = record("hash_join_u64_count", 2 * nj, t, 2 * nj * 16)
+    f_join = record("hash_join_u64_count", 2 * nj, t, 2 * nj * 16, core=True)
 
-    fracs = [f_filter, f_sort, f_agg, f_join]
-    headline = float(np.exp(np.mean(np.log(np.maximum(fracs, 1e-9)))))
-    details["core4_geomean_roofline_frac"] = headline
-    details["total_bench_seconds"] = time.time() - t_start
+    # ---- reference-harness mirrors (elementwise tier) ---------------------
+    # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained
+    # iterations are needed to rise above the ~30ms dispatch/readback noise
+    k_elem = (16, 400 if not small else 200)
+    xf = gen_f32(kg, n_elem)
+    t = device_seconds_per_iter(lambda y: y * 1.0001 + 1.5, xf, *k_elem)
+    record("add_scalar_f32_10m", n_elem, t, n_elem * 8)
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
-
-    print(
-        json.dumps(
-            {
-                "metric": "core4_geomean_roofline_frac",
-                "value": round(headline, 4),
-                "unit": "fraction_of_hbm_roofline",
-                "vs_baseline": round(headline / 0.80, 4),
-            }
-        )
+    xu = gen_u32(kg, n_elem, 1000)
+    # chain: per-iter full reduction; re-materialize the array via broadcast add
+    t = device_seconds_per_iter(
+        lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)), xu, *k_elem
     )
+    record("sum_u32_10m", n_elem, t, n_elem * 8)  # read + chained re-write
+
+    # ---- optional: full selectivity sweep (BASELINE filter config) --------
+    if os.environ.get("ARROW_TPU_BENCH_SWEEP", "0") == "1":
+        for sel in (0.01, 0.10, 0.50, 0.90, 0.99):
+            mw = jax.jit(
+                lambda k, s=sel: B.pack_bits(jax.random.bernoulli(k, s, (n_op,)))
+            )(jax.random.key(int(sel * 1000)))
+            t = device_seconds_per_iter(filter_step, (data, mw))
+            record(
+                f"filter_i32_sel{int(sel*100):02d}",
+                n_op,
+                t,
+                int(n_op * (4 + 0.125 + 4 * sel)),
+            )
+
+    _DETAILS["total_bench_seconds"] = time.time() - t_start
+    _emit_final()
 
 
 if __name__ == "__main__":
