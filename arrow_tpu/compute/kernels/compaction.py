@@ -39,9 +39,14 @@ BLOCK = 256  # rows per block: P is (256, 256) f32 = 256 KB VMEM
 SUB = BLOCK // LANES  # sublane rows per block
 
 
-def _compact_kernel(offsets_ref, data_ref, mask_ref, out_ref, scratch, sem):
+def _compact_kernel(offsets_ref, data_ref, words_ref, out_ref, scratch, sem):
     i = pl.program_id(0)
-    sel = mask_ref[...] != 0  # (SUB, LANES) bool
+    # unpack this block's packed mask words in VMEM (8 words -> 256 bits);
+    # word w covers flat elements [w*32, w*32+32), matching row-major order
+    w = words_ref[...].reshape(BLOCK // 32, 1)  # (8, 1) uint32
+    shifts = lax.broadcasted_iota(jnp.uint32, (BLOCK // 32, 32), 1)
+    bits = (w >> shifts) & jnp.uint32(1)
+    sel = bits.reshape(SUB, LANES) != 0
 
     # stable rank of every selected element in row-major order
     lane_idx = lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
@@ -103,8 +108,10 @@ def compact_pallas(
     assert n % (SUB * LANES) == 0
     nb = n // BLOCK
 
-    mask_bits = B_.unpack_bits(mask_words).astype(jnp.int32)
-    counts = jnp.sum(mask_bits.reshape(nb, BLOCK), axis=1, dtype=jnp.int32)
+    # per-block selected counts from packed-word popcounts (tiny XLA prelude)
+    wpb = BLOCK // 32  # words per block
+    pc = lax.population_count(mask_words.reshape(nb, wpb))
+    counts = jnp.sum(pc, axis=1, dtype=jnp.int32)
     block_off = jnp.cumsum(counts) - counts  # element offsets
     count = jnp.sum(counts)
     out = pl.pallas_call(
@@ -114,7 +121,7 @@ def compact_pallas(
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wpb), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -125,5 +132,5 @@ def compact_pallas(
         out_shape=jax.ShapeDtypeStruct((n + BLOCK,), data.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(block_off, data.reshape(-1, LANES), mask_bits.reshape(-1, LANES))
+    )(block_off, data.reshape(-1, LANES), mask_words.reshape(nb, wpb))
     return out, count

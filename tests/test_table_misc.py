@@ -129,3 +129,31 @@ def test_io_arrow_buffers_roundtrip(tmp_path):
     assert rb2["x"].values() == [1, None, 3, 4]
     assert rb2["f"].values() == [0.5, 1.5, 2.5, 3.5]
     assert rb2["b"].values() == [True, False, None, True]
+
+
+def test_ops_compose_under_user_jit():
+    """Arrays are pytrees; eager ops nest inside a user jax.jit."""
+    import jax
+
+    a = at.Float32Array.from_slice([1.0, 2.0, 3.0])
+    b = at.Float32Array.from_slice([10.0, 20.0, 30.0])
+
+    @jax.jit
+    def f(x, y):
+        return K.mul_scalar(K.add(x, y), 2.0)
+
+    r = f(a, b)
+    assert r.values() == [22.0, 44.0, 66.0]
+
+
+def test_health_probe_and_deadline():
+    from arrow_tpu.runtime import health
+
+    latency = health.probe_device(timeout_s=60.0)
+    assert latency >= 0.0
+    ok, val = health.with_deadline(lambda: 42, timeout_s=10.0)
+    assert ok and val == 42
+    import time as _t
+
+    ok, val = health.with_deadline(lambda: _t.sleep(2.0) or 7, timeout_s=0.2, default=-1)
+    assert not ok and val == -1
