@@ -30,16 +30,27 @@ def segmented_scan(
     vals: jnp.ndarray, starts: jnp.ndarray, combine: Callable
 ) -> jnp.ndarray:
     """Inclusive scan of `vals` with `combine`, restarting at rows where
-    `starts` is True.  Standard segmented-scan operator lifted through
-    `lax.associative_scan` (runs in O(log n) fused passes on the VPU)."""
+    `starts` is True.
 
-    def op(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, combine(va, vb)), fa | fb
-
-    out, _ = lax.associative_scan(op, (vals, starts))
-    return out
+    Implemented as the classic Hillis-Steele segmented scan: log2(n) fused
+    elementwise passes of shift+combine.  (The tempting alternative —
+    `lax.associative_scan` with a (value, flag) pair operator — lowers to a
+    pair-carrying reduce-window whose scoped-VMEM allocation exceeds the TPU's
+    16MB limit for multi-million-row inputs.)
+    """
+    n = vals.shape[0]
+    idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    v, f = vals, starts
+    d = 1
+    while d < n:
+        pv = jnp.roll(v, d)
+        pf = jnp.roll(f, d)
+        has_pred = idx >= d
+        take = has_pred & (~f)
+        v = jnp.where(take, combine(pv, v), v)
+        f = f | (has_pred & pf)
+        d <<= 1
+    return v
 
 
 def segment_ends(starts: jnp.ndarray, n_valid) -> jnp.ndarray:

@@ -144,6 +144,14 @@ def main():
     def gen_f32(key, n):
         return jax.random.normal(key, (n,), dtype=jnp.float32)
 
+
+    def safe(name, fn):
+        """One wedged/failed metric must not kill the rest of the bench."""
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+
     # ---- operator 1: filter (predicate + compaction) ----------------------
     # every buffer is loop-carried (returned unchanged) so nothing becomes a
     # compile-time constant that XLA would fold out of the measurement
@@ -159,8 +167,16 @@ def main():
         live = lax.broadcasted_iota(jnp.uint32, (n_op,), 0) < count
         return jnp.where(live, part, jnp.zeros_like(part)), mw
 
-    t = device_seconds_per_iter(filter_step, (data, mwords))
-    f_filter = record("filter_i32_50pct", n_op, t, int(n_op * (4 + 0.125 + 2)), core=True)
+    safe(
+        "filter_i32_50pct",
+        lambda: record(
+            "filter_i32_50pct",
+            n_op,
+            device_seconds_per_iter(filter_step, (data, mwords)),
+            int(n_op * (4 + 0.125 + 2)),
+            core=True,
+        ),
+    )
 
     # ---- operator 2: sort (key + payload, stable) -------------------------
     keys = gen_u32(jax.random.key(2), n_op, 1 << 31)
@@ -170,8 +186,16 @@ def main():
         out = lax.sort([k, p], num_keys=1, is_stable=True)
         return out[0], out[1]
 
-    t = device_seconds_per_iter(sort_step, (keys, payload))
-    f_sort = record("sort_u32_kv", n_op, t, n_op * 16, core=True)
+    safe(
+        "sort_u32_kv",
+        lambda: record(
+            "sort_u32_kv",
+            n_op,
+            device_seconds_per_iter(sort_step, (keys, payload)),
+            n_op * 16,
+            core=True,
+        ),
+    )
 
     # ---- operator 3: hash aggregate (GROUP BY u32, sum+count) -------------
     gkeys = gen_u32(jax.random.key(4), n_op, 1 << 20)
@@ -189,8 +213,16 @@ def main():
         live = lax.broadcasted_iota(jnp.uint32, (n_op,), 0) < g
         return jnp.where(live, parts[0], jnp.zeros_like(parts[0])), v
 
-    t = device_seconds_per_iter(agg_step, (gkeys, gvals))
-    f_agg = record("hash_agg_u32_1m_keys", n_op, t, n_op * 16, core=True)
+    safe(
+        "hash_agg_u32_1m_keys",
+        lambda: record(
+            "hash_agg_u32_1m_keys",
+            n_op,
+            device_seconds_per_iter(agg_step, (gkeys, gvals)),
+            n_op * 16,
+            core=True,
+        ),
+    )
 
     # ---- operator 4: hash join (u64 keys, count phase) --------------------
     nj = n_op // 2
@@ -204,23 +236,47 @@ def main():
         cnt = (hi - lo).astype(jnp.int64)
         return p ^ (jnp.cumsum(cnt).astype(jnp.uint64) & jnp.uint64(1)), b
 
-    t = device_seconds_per_iter(join_step, (pk, bk))
-    f_join = record("hash_join_u64_count", 2 * nj, t, 2 * nj * 16, core=True)
+    safe(
+        "hash_join_u64_count",
+        lambda: record(
+            "hash_join_u64_count",
+            2 * nj,
+            device_seconds_per_iter(join_step, (pk, bk)),
+            2 * nj * 16,
+            core=True,
+        ),
+    )
 
     # ---- reference-harness mirrors (elementwise tier) ---------------------
     # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained
     # iterations are needed to rise above the ~30ms dispatch/readback noise
     k_elem = (16, 400 if not small else 200)
     xf = gen_f32(kg, n_elem)
-    t = device_seconds_per_iter(lambda y: y * 1.0001 + 1.5, xf, *k_elem)
-    record("add_scalar_f32_10m", n_elem, t, n_elem * 8)
+    safe(
+        "add_scalar_f32_10m",
+        lambda: record(
+            "add_scalar_f32_10m",
+            n_elem,
+            device_seconds_per_iter(lambda y: y * 1.0001 + 1.5, xf, *k_elem),
+            n_elem * 8,
+        ),
+    )
 
     xu = gen_u32(kg, n_elem, 1000)
     # chain: per-iter full reduction; re-materialize the array via broadcast add
-    t = device_seconds_per_iter(
-        lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)), xu, *k_elem
+    safe(
+        "sum_u32_10m",
+        lambda: record(
+            "sum_u32_10m",
+            n_elem,
+            device_seconds_per_iter(
+                lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)),
+                xu,
+                *k_elem,
+            ),
+            n_elem * 8,
+        ),
     )
-    record("sum_u32_10m", n_elem, t, n_elem * 8)  # read + chained re-write
 
     # ---- optional: full selectivity sweep (BASELINE filter config) --------
     if os.environ.get("ARROW_TPU_BENCH_SWEEP", "0") == "1":
@@ -228,12 +284,14 @@ def main():
             mw = jax.jit(
                 lambda k, s=sel: B.pack_bits(jax.random.bernoulli(k, s, (n_op,)))
             )(jax.random.key(int(sel * 1000)))
-            t = device_seconds_per_iter(filter_step, (data, mw))
-            record(
+            safe(
                 f"filter_i32_sel{int(sel*100):02d}",
-                n_op,
-                t,
-                int(n_op * (4 + 0.125 + 4 * sel)),
+                lambda mw=mw, sel=sel: record(
+                    f"filter_i32_sel{int(sel*100):02d}",
+                    n_op,
+                    device_seconds_per_iter(filter_step, (data, mw)),
+                    int(n_op * (4 + 0.125 + 4 * sel)),
+                ),
             )
 
     _DETAILS["total_bench_seconds"] = time.time() - t_start
