@@ -61,11 +61,11 @@ def test_binary_pallas_no_validity():
     assert v is None
 
 
-@pytest.mark.parametrize("sel_p", [0.0, 0.3, 1.0])
+@pytest.mark.parametrize("sel_p", [0.0, 0.01, 0.3, 0.77, 1.0])
 def test_compact_pallas(sel_p):
     from arrow_tpu.compute.kernels.compaction import compact_pallas
 
-    n = 4096
+    n = 8192
     rng = np.random.default_rng(3)
     data = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
     mask = rng.random(n) < sel_p
