@@ -62,9 +62,16 @@ def device_seconds_per_iter(
     k_lo, k_hi = int(k_lo), int(k_hi)
     lo = _chained_program(fn, k_lo)
     hi = _chained_program(fn, k_hi)
-    # warm both compiles
-    _run_once(lo, args)
-    _run_once(hi, args)
+    # warm both compiles; remote-compile services can fail transiently
+    for prog in (lo, hi):
+        for attempt in range(3):
+            try:
+                _run_once(prog, args)
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(2.0)
     slopes = []
     for _ in range(repeats):
         t_lo = _run_once(lo, args)
