@@ -91,17 +91,51 @@ def filter_indices(mask: BooleanArray) -> Tuple[ArrowArrayBase, int]:
     return make_array(out, None, k, dt.ArrowType.UINT32, mask.device), k
 
 
+def _filter_pallas(data, mask):
+    """Pallas block-compaction path: 32-bit no-null columns, length % 2048 == 0.
+
+    Streams data once through VMEM (log-shift hole-filling network) and writes
+    compacted blocks at dynamic offsets — memory-bound, unlike the sort path.
+    """
+    import jax.lax as _lax
+
+    from .kernels.compaction import BLOCK, compact_pallas
+
+    select = _select_words(mask.data, mask.validity)
+    raw = data.data
+    is_float = raw.dtype == jnp.float32
+    x = _lax.bitcast_convert_type(raw, jnp.uint32) if is_float else raw
+    out, count = compact_pallas(x, select)
+    k = int(count)
+    out = out[: raw.shape[0]]
+    if is_float:
+        out = _lax.bitcast_convert_type(out, jnp.float32)
+    return make_array(out, None, k, data.dtype, data.device)
+
+
 def filter(
     data: Union[ArrowArrayBase, RecordBatch],
     mask: BooleanArray,
     pipeline=None,
+    method: str = "sort",
 ) -> Union[ArrowArrayBase, RecordBatch]:
     """Compact rows where mask is true (and valid).
 
     For a RecordBatch, the selection scan runs once and every column shares it.
+    method="pallas" uses the hand-written block-compaction kernel (32-bit
+    no-null primitive columns, tile-aligned length).
     """
     if mask.dtype is not dt.ArrowType.BOOL:
         raise OperationNotSupported("filter mask must be a BooleanArray")
+    if (
+        method == "pallas"
+        and isinstance(data, ArrowArrayBase)
+        and data.validity is None
+        and data.dtype is not dt.ArrowType.BOOL
+        and dt.item_size(data.dtype) == 4
+        and data.data.shape[0] % 2048 == 0
+    ):
+        return _filter_pallas(data, mask)
     if isinstance(data, RecordBatch):
         idx, k = filter_indices(mask)
         from ..kernels import take as _take
