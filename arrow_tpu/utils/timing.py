@@ -33,7 +33,7 @@ def _chained_program(fn: Callable, k: int):
             # single memory pass (which would under-report elementwise ops)
             return lax.optimization_barrier(out)
 
-        return lax.fori_loop(0, k, body, args)
+        return lax.fori_loop(0, k, body, args, unroll=False)
 
     return run
 

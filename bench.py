@@ -250,32 +250,30 @@ def main():
     # ---- reference-harness mirrors (elementwise tier) ---------------------
     # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained
     # iterations are needed to rise above the ~30ms dispatch/readback noise
-    k_elem = (16, 400 if not small else 200)
     xf = gen_f32(kg, n_elem)
+    # chained-loop timing over-reports elementwise ops on some AOT paths
+    # (iteration collapse); use wall-clock medians like the reference harness
+    def wall(fn, *args, iters=5):
+        jax.block_until_ready(fn(*args))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    add_fn = jax.jit(lambda y: y * 1.0001 + 1.5)
     safe(
         "add_scalar_f32_10m",
-        lambda: record(
-            "add_scalar_f32_10m",
-            n_elem,
-            device_seconds_per_iter(lambda y: y * 1.0001 + 1.5, xf, *k_elem),
-            n_elem * 8,
-        ),
+        lambda: record("add_scalar_f32_10m", n_elem, wall(add_fn, xf), n_elem * 8),
     )
 
     xu = gen_u32(kg, n_elem, 1000)
     # chain: per-iter full reduction; re-materialize the array via broadcast add
+    sum_fn = jax.jit(lambda y: jnp.sum(y, dtype=jnp.uint32))
     safe(
         "sum_u32_10m",
-        lambda: record(
-            "sum_u32_10m",
-            n_elem,
-            device_seconds_per_iter(
-                lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)),
-                xu,
-                *k_elem,
-            ),
-            n_elem * 8,
-        ),
+        lambda: record("sum_u32_10m", n_elem, wall(sum_fn, xu), n_elem * 4),
     )
 
     # ---- optional: full selectivity sweep (BASELINE filter config) --------
