@@ -160,7 +160,14 @@ def main():
         jax.random.key(1)
     )
 
+    from arrow_tpu.compute.kernels.compaction import compact_pallas
+
+    use_pallas_filter = jax.default_backend() == "tpu" and n_op % 8192 == 0
+
     def filter_step(y, mw):
+        if use_pallas_filter:
+            o, c = compact_pallas(y, mw)
+            return o[:n_op], mw
         bools = B.unpack_bits(mw)
         count = jnp.sum(bools, dtype=jnp.uint32)
         (part,) = stable_partition(bools, [y])

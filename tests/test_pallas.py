@@ -65,7 +65,7 @@ def test_binary_pallas_no_validity():
 def test_compact_pallas(sel_p):
     from arrow_tpu.compute.kernels.compaction import compact_pallas
 
-    n = 8192
+    n = 16384
     rng = np.random.default_rng(3)
     data = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
     mask = rng.random(n) < sel_p
