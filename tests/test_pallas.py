@@ -13,11 +13,11 @@ from arrow_tpu.utils import bits as B
 def test_sum_pallas():
     from arrow_tpu.compute.kernels.reduction import sum_pallas
 
-    n = 8192
+    n = 16384
     x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
     got = float(sum_pallas(jnp.asarray(x), interpret=True))
     assert abs(got - x.sum()) < 0.5
-    xi = np.arange(4096, dtype=np.int32)
+    xi = np.arange(8192, dtype=np.int32)
     assert int(sum_pallas(jnp.asarray(xi), interpret=True)) == xi.sum()
 
 
