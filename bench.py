@@ -254,33 +254,74 @@ def main():
         ),
     )
 
+    if "hash_join_u64_count" not in _FRACS:
+        # some toolchains crash compiling u64 emulation inside the timing
+        # loop; fall back to u32 keys for the core metric
+        bk32 = gen_u32(jax.random.key(6), nj, nj)
+        pk32 = gen_u32(jax.random.key(7), nj, nj)
+
+        def join_step32(p, b):
+            sb = lax.sort([b], num_keys=1)[0]
+            lo = jnp.searchsorted(sb, p, side="left", method="sort")
+            hi = jnp.searchsorted(sb, p, side="right", method="sort")
+            cnt = (hi - lo).astype(jnp.int32)
+            return p ^ (jnp.cumsum(cnt).astype(jnp.uint32) & jnp.uint32(1)), b
+
+        safe(
+            "hash_join_u32_count",
+            lambda: record(
+                "hash_join_u32_count",
+                2 * nj,
+                device_seconds_per_iter(join_step32, (pk32, bk32)),
+                2 * nj * 8,
+                core=True,
+            ),
+        )
+
     # ---- reference-harness mirrors (elementwise tier) ---------------------
     # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained
     # iterations are needed to rise above the ~30ms dispatch/readback noise
     xf = gen_f32(kg, n_elem)
-    # chained-loop timing over-reports elementwise ops on some AOT paths
-    # (iteration collapse); use wall-clock medians like the reference harness
-    def wall(fn, *args, iters=5):
-        jax.block_until_ready(fn(*args))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    # in-loop timing collapses trivial elementwise chains on some AOT paths
+    # and single-dispatch wall-clock measures dispatch latency; instead time a
+    # host-side chain of k async dispatches (device executes them back to
+    # back) and slope two chain lengths — readback reliably awaits the queue
+    def queue_slope(fn, x, k_lo=8, k_hi=72):
+        f = jax.jit(fn)
+        y = f(x)
+        np.asarray(y.ravel()[:1])  # warm compile
 
-    add_fn = jax.jit(lambda y: y * 1.0001 + 1.5)
+        def run(k):
+            t0 = time.perf_counter()
+            z = x
+            for _ in range(k):
+                z = f(z)
+            np.asarray(z.ravel()[:1])
+            return time.perf_counter() - t0
+
+        ts = [(run(k_hi) - run(k_lo)) / (k_hi - k_lo) for _ in range(2)]
+        return max(float(np.median(ts)), 1e-9)
+
     safe(
         "add_scalar_f32_10m",
-        lambda: record("add_scalar_f32_10m", n_elem, wall(add_fn, xf), n_elem * 8),
+        lambda: record(
+            "add_scalar_f32_10m",
+            n_elem,
+            queue_slope(lambda y: y * 1.0001 + 1.5, xf),
+            n_elem * 8,
+        ),
     )
 
     xu = gen_u32(kg, n_elem, 1000)
     # chain: per-iter full reduction; re-materialize the array via broadcast add
-    sum_fn = jax.jit(lambda y: jnp.sum(y, dtype=jnp.uint32))
     safe(
         "sum_u32_10m",
-        lambda: record("sum_u32_10m", n_elem, wall(sum_fn, xu), n_elem * 4),
+        lambda: record(
+            "sum_u32_10m",
+            n_elem,
+            queue_slope(lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)), xu),
+            n_elem * 8,
+        ),
     )
 
     # ---- optional: full selectivity sweep (BASELINE filter config) --------
