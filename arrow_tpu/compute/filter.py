@@ -99,7 +99,7 @@ def _filter_pallas(data, mask):
     """
     import jax.lax as _lax
 
-    from .kernels.compaction import BLOCK, compact_pallas
+    from .kernels.compaction import compact_pallas
 
     select = _select_words(mask.data, mask.validity)
     raw = data.data
