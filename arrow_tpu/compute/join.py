@@ -6,15 +6,21 @@ module is the single-device operator; `arrow_tpu.parallel.distributed_ops`
 hash-partitions both sides across the mesh and runs this per shard.
 
 Design (TPU-native, sort-probe): instead of a pointer-chasing hash table (which
-maps poorly to the VPU), the build side is sorted once and probes are binary
-searches — `jnp.searchsorted` vectorizes over all probe rows at once:
+maps poorly to the VPU), per-probe match bounds come from ONE tag co-sort of
+build+probe keys (`probe_bounds`), then an emit pass expands the ranges:
 
-  sb            = sort(build_keys)                       (XLA TPU sort)
-  lo/hi         = searchsorted(sb, probe, 'left'/'right')
-  match_count   = hi - lo          (handles duplicate build keys)
-  total         = sum(match_count)              -> host sync, output size
+  sort concat(build, probe) by (key limbs..., is_build) — probe first on ties
+  b4[c]       = #build rows before sorted position c (cumsum)
+  lo (probe)  = b4[c]                     (ties place build rows after it)
+  hi (probe)  = nb - (#build after own key segment)   (reverse propagation)
+  match_count = hi - lo          (handles duplicate build keys)
+  total       = sum(match_count)              -> host sync, output size
   out position  j emits probe row  i = searchsorted(offsets, j, 'right')-1
                  and build row  order[lo[i] + (j - offsets[i])]
+
+64-bit keys are decomposed into 32-bit limb columns and sorted with
+`num_keys=2` — TPU lanes are 32-bit and emulated u64 comparators are both ~2x
+slower and crash some deployment toolchains (`utils.scans.sort_limbs`).
 
 Two programs: a count pass (shape-stable) and an emit pass whose output
 capacity is bucketed to limit recompiles across total sizes.
@@ -47,35 +53,82 @@ def _valid_mask(data, validity, length):
     return B.unpack_bits(validity) & in_range
 
 
+def probe_bounds(bkeys, bvalid, pkeys, pvalid, ordered: bool = True):
+    """Per-probe [lo, hi) match ranks among valid build rows.
+
+    ONE multi-key sort of concat(build, probe) + one unsort replaces the two
+    `searchsorted(..., method='sort')` co-sorts (4 internal sorts) of the
+    naive formulation, and limb decomposition keeps 64-bit keys exact without
+    emulated 64-bit comparators.
+
+    ordered=False skips the unsort and returns bounds in co-sorted key order
+    with probe rows marked by isb==0 — enough for count-only consumers.
+    """
+    from ..utils.scans import shift_cummax, sort_limbs
+
+    n, m = bkeys.shape[0], pkeys.shape[0]
+    keys = [
+        jnp.concatenate([b, p])
+        for b, p in zip(sort_limbs(bkeys), sort_limbs(pkeys))
+    ]
+    # invalid build rows tagged as non-build: they count toward no probe.
+    # isb rides as payload, not key: lo/hi are derived from key-segment
+    # boundaries, so tie order between build and probe rows is irrelevant.
+    isb = jnp.concatenate(
+        [bvalid.astype(jnp.int32), jnp.zeros((m,), jnp.int32)]
+    )
+    payload = [isb]
+    if ordered:
+        payload.append(lax.broadcasted_iota(jnp.uint32, (n + m,), 0))
+    out = lax.sort([*keys, *payload], num_keys=len(keys))
+    skeys, sb = out[: len(keys)], out[len(keys)]
+    b4 = (jnp.cumsum(sb) - sb).astype(jnp.int32)
+    idx = lax.broadcasted_iota(jnp.int32, (n + m,), 0)
+    start = idx == 0
+    for sk in skeys:
+        start = start | (sk != jnp.roll(sk, 1))
+    # lo = #build rows in strictly-earlier key segments = b4 at segment start;
+    # b4 is non-decreasing, so masked cummax propagates it across the segment
+    lo_s = shift_cummax(jnp.where(start, b4, -1))
+    nbv = jnp.sum(sb, dtype=jnp.int32)
+    after = nbv - b4 - sb  # build rows strictly after c
+    end = jnp.roll(start, -1).at[n + m - 1].set(True)
+    hi_s = nbv - shift_cummax(jnp.where(end, after, -1), reverse=True)
+    if not ordered:
+        return jnp.where(sb == 0, lo_s, 0), jnp.where(sb == 0, hi_s, 0)
+    sorig = out[len(keys) + 1]
+    # restore original order: one single-key sort carrying both bounds
+    _, lo_o, hi_o = lax.sort([sorig, lo_s, hi_s], num_keys=1)
+    lo_p, hi_p = lo_o[n:], hi_o[n:]
+    lo_p = jnp.where(pvalid, lo_p, 0)
+    hi_p = jnp.where(pvalid, hi_p, 0)
+    return lo_p, jnp.maximum(hi_p, lo_p)
+
+
+def build_order(bkeys, bvalid):
+    """Valid build rows' ids in key order (rank -> row id), invalid last."""
+    from ..utils.scans import sort_limbs
+
+    rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
+    rows = lax.broadcasted_iota(jnp.uint32, (bkeys.shape[0],), 0)
+    limbs = sort_limbs(bkeys)
+    out = lax.sort([rank, *limbs, rows], num_keys=1 + len(limbs), is_stable=True)
+    return out[-1]
+
+
 @functools.lru_cache(maxsize=None)
 def _count_program(spec: tuple):
     (nb, lb, bv, np_, lp, pv) = spec
 
     def run(bkeys, bvalidity, pkeys, pvalidity):
         bvalid = _valid_mask(bkeys, bvalidity, lb)
-        rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
-        rows = lax.broadcasted_iota(jnp.uint32, (bkeys.shape[0],), 0)
-        # neutralize invalid keys to the max value so the sorted array is
-        # globally key-ordered (searchsorted requirement); the rank tiebreak
-        # keeps them after any real max-valued key, and the nvalid_b clamp
-        # excludes them from matches.
-        maxval = jnp.iinfo(bkeys.dtype).max
-        nkeys = jnp.where(bvalid, bkeys, jnp.asarray(maxval, bkeys.dtype))
-        srank, skey, sorder = lax.sort([rank, nkeys, rows], num_keys=2, is_stable=True)
-        nvalid_b = jnp.sum(bvalid, dtype=jnp.int32)
-
         pvalid = _valid_mask(pkeys, pvalidity, lp)
-        # method="sort" lowers searchsorted to a co-sort instead of per-query
-        # binary-search gathers (random gathers are ~40x slower on TPU)
-        lo = jnp.searchsorted(skey, pkeys, side="left", method="sort")
-        hi = jnp.searchsorted(skey, pkeys, side="right", method="sort")
-        # clamp to the valid prefix of the sorted build side
-        lo = jnp.minimum(lo, nvalid_b)
-        hi = jnp.minimum(hi, nvalid_b)
-        cnt = jnp.where(pvalid, hi - lo, 0).astype(jnp.int64)
+        sorder = build_order(bkeys, bvalid)
+        lo, hi = probe_bounds(bkeys, bvalid, pkeys, pvalid)
+        cnt = (hi - lo).astype(jnp.int64)
         offsets = jnp.cumsum(cnt) - cnt
         total = jnp.sum(cnt)
-        return total, cnt, offsets, lo, skey, sorder
+        return total, cnt, offsets, lo, sorder
 
     return jax.jit(run)
 
@@ -132,7 +185,7 @@ def join_indices(
         int(probe_keys.data.shape[0]), probe_keys.length, probe_keys.validity is not None,
     )
     cp = _count_program(spec)
-    total, cnt, offsets, lo, skey, sorder = cp(
+    total, cnt, offsets, lo, sorder = cp(
         build_keys.data, build_keys.validity, probe_keys.data, probe_keys.validity
     )
     t = int(total)

@@ -327,15 +327,11 @@ def join_shard_local(bcap, pcap, out_cap, bc, bk, bvalid, pc, pk, pvalid):
     Returns (k, overflow, probe_idx, build_idx, live) where indices are local
     row ids and `live` masks the first k output slots.
     """
-    maxval = jnp.iinfo(bk.dtype).max
-    nkeys = jnp.where(bvalid, bk, jnp.asarray(maxval, bk.dtype))
-    rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
-    rows = lax.broadcasted_iota(jnp.uint32, (bcap,), 0)
-    _, skey, sorder = lax.sort([rank, nkeys, rows], num_keys=2, is_stable=True)
-    nb = jnp.sum(bvalid, dtype=jnp.int32)
-    lo = jnp.minimum(jnp.searchsorted(skey, pk, side="left", method="sort"), nb)
-    hi = jnp.minimum(jnp.searchsorted(skey, pk, side="right", method="sort"), nb)
-    cnt = jnp.where(pvalid, hi - lo, 0).astype(jnp.int64)
+    from ..compute.join import build_order, probe_bounds
+
+    sorder = build_order(bk, bvalid)
+    lo, hi = probe_bounds(bk, bvalid, pk, pvalid)
+    cnt = (hi - lo).astype(jnp.int64)
     offsets = jnp.cumsum(cnt) - cnt
     total = jnp.sum(cnt)
     j = lax.broadcasted_iota(jnp.int64, (out_cap,), 0)

@@ -53,6 +53,50 @@ def segmented_scan(
     return v
 
 
+def segment_broadcast_first(vals: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Every row takes the value `vals` has at its segment's first row."""
+    return segmented_scan(vals, starts, lambda a, b: a)
+
+
+def segment_broadcast_last(vals: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
+    """Every row takes the value `vals` has at its segment's last row."""
+    return jnp.flip(segmented_scan(jnp.flip(vals), jnp.flip(ends), lambda a, b: a))
+
+
+def shift_cummax(v: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Cumulative max as log2(n) fused shift+max passes.
+
+    `lax.cummax` lowers through a reduce-window whose scoped-VMEM allocation
+    exceeds the TPU's 16MB limit at multi-million-row sizes (same failure mode
+    as `lax.associative_scan`, see `segmented_scan`); the explicit log-shift
+    ladder has no such allocation and fuses into plain elementwise passes.
+    """
+    n = v.shape[0]
+    idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    d = 1
+    while d < n:
+        s = jnp.roll(v, -d if reverse else d)
+        ok = (idx < n - d) if reverse else (idx >= d)
+        v = jnp.where(ok, jnp.maximum(v, s), v)
+        d <<= 1
+    return v
+
+
+def sort_limbs(keys: jnp.ndarray) -> list:
+    """Decompose an integer key column into <=32-bit sort keys, high limb
+    first, so multi-key `lax.sort` orders identically to the 64-bit compare.
+
+    TPU lanes are 32-bit; sorting emulated 64-bit comparators both costs ~2x
+    and crashes some deployment toolchains — limb columns are the TPU-native
+    layout for wide keys.
+    """
+    if keys.dtype == jnp.uint64:
+        return [(keys >> 32).astype(jnp.uint32), keys.astype(jnp.uint32)]
+    if keys.dtype == jnp.int64:
+        return [(keys >> 32).astype(jnp.int32), keys.astype(jnp.uint32)]
+    return [keys]
+
+
 def segment_ends(starts: jnp.ndarray, n_valid) -> jnp.ndarray:
     """End-of-segment flags given start flags over the valid prefix.
 

@@ -232,16 +232,20 @@ def main():
     )
 
     # ---- operator 4: hash join (u64 keys, count phase) --------------------
+    # u64 keys ride as 32-bit limb pairs (compute/join.py::probe_bounds):
+    # emulated 64-bit comparators both run ~2x slower and crash some
+    # deployment toolchains inside the timing loop
+    from arrow_tpu.compute.join import probe_bounds
+
     nj = n_op // 2
     bk = gen_u32(jax.random.key(6), nj, nj).astype(jnp.uint64)
     pk = gen_u32(jax.random.key(7), nj, nj).astype(jnp.uint64)
 
     def join_step(p, b):
-        sb = lax.sort([b], num_keys=1)[0]
-        lo = jnp.searchsorted(sb, p, side="left", method="sort")
-        hi = jnp.searchsorted(sb, p, side="right", method="sort")
-        cnt = (hi - lo).astype(jnp.int64)
-        return p ^ (jnp.cumsum(cnt).astype(jnp.uint64) & jnp.uint64(1)), b
+        ones = jnp.ones((nj,), bool)
+        lo, hi = probe_bounds(b, ones, p, ones, ordered=False)
+        total = jnp.sum(hi - lo, dtype=jnp.int32)
+        return p ^ (total & 1).astype(jnp.uint64), b
 
     safe(
         "hash_join_u64_count",
@@ -253,30 +257,6 @@ def main():
             core=True,
         ),
     )
-
-    if "hash_join_u64_count" not in _FRACS:
-        # some toolchains crash compiling u64 emulation inside the timing
-        # loop; fall back to u32 keys for the core metric
-        bk32 = gen_u32(jax.random.key(6), nj, nj)
-        pk32 = gen_u32(jax.random.key(7), nj, nj)
-
-        def join_step32(p, b):
-            sb = lax.sort([b], num_keys=1)[0]
-            lo = jnp.searchsorted(sb, p, side="left", method="sort")
-            hi = jnp.searchsorted(sb, p, side="right", method="sort")
-            cnt = (hi - lo).astype(jnp.int32)
-            return p ^ (jnp.cumsum(cnt).astype(jnp.uint32) & jnp.uint32(1)), b
-
-        safe(
-            "hash_join_u32_count",
-            lambda: record(
-                "hash_join_u32_count",
-                2 * nj,
-                device_seconds_per_iter(join_step32, (pk32, bk32)),
-                2 * nj * 8,
-                core=True,
-            ),
-        )
 
     # ---- reference-harness mirrors (elementwise tier) ---------------------
     # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained

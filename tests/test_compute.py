@@ -258,6 +258,46 @@ def test_join_large_differential():
     np.testing.assert_array_equal(pk[pi_np], bk[bi_np])
 
 
+def test_join_u64_wide_keys_exercise_high_limb():
+    rng = np.random.default_rng(12)
+    nb, np_ = 20_000, 30_000
+    # keys straddle 2**32 with colliding low limbs: hi limb must participate
+    lo = rng.integers(0, 1_000, nb).astype(np.uint64)
+    hi = rng.integers(0, 4, nb).astype(np.uint64) << np.uint64(32)
+    bk = hi | lo
+    lo_p = rng.integers(0, 1_000, np_).astype(np.uint64)
+    hi_p = rng.integers(0, 4, np_).astype(np.uint64) << np.uint64(32)
+    pk = hi_p | lo_p
+    pi, bi, t = C.join_indices(
+        at.UInt64Array.from_slice(bk), at.UInt64Array.from_slice(pk)
+    )
+    sb = np.sort(bk)
+    expected = int(
+        (np.searchsorted(sb, pk, "right") - np.searchsorted(sb, pk, "left")).sum()
+    )
+    assert t == expected
+    pi_np = np.asarray(pi.raw_values())[:t]
+    bi_np = np.asarray(bi.raw_values())[:t]
+    np.testing.assert_array_equal(pk[pi_np], bk[bi_np])
+
+
+def test_join_i64_negative_keys():
+    rng = np.random.default_rng(13)
+    bk = rng.integers(-50, 50, 5_000).astype(np.int64) * (1 << 33)
+    pk = rng.integers(-50, 50, 7_000).astype(np.int64) * (1 << 33)
+    pi, bi, t = C.join_indices(
+        at.Int64Array.from_slice(bk), at.Int64Array.from_slice(pk)
+    )
+    sb = np.sort(bk)
+    expected = int(
+        (np.searchsorted(sb, pk, "right") - np.searchsorted(sb, pk, "left")).sum()
+    )
+    assert t == expected
+    pi_np = np.asarray(pi.raw_values())[:t]
+    bi_np = np.asarray(bi.raw_values())[:t]
+    np.testing.assert_array_equal(pk[pi_np], bk[bi_np])
+
+
 def test_lex_sort():
     k1 = at.UInt32Array.from_slice(np.array([2, 1, 2, 1], np.uint32))
     k2 = at.Int32Array.from_slice([5, 9, 3, 7])
