@@ -85,7 +85,7 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None):
     for agg, val_dtype_str, _ in agg_spec:
         if agg == "count_all":
             seg_cnt = segmented_scan(
-                in_group.astype(jnp.int64), starts, lambda a, b: a + b
+                in_group.astype(jnp.int64), starts, lambda a, b: a + b, op="add"
             )
             results.append(seg_cnt)
             continue
@@ -98,12 +98,12 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None):
             if vdt == jnp.uint64:
                 acc_dt = jnp.uint64
             contrib = jnp.where(svalid, svals.astype(acc_dt), jnp.asarray(0, acc_dt))
-            ssum = segmented_scan(contrib, starts, lambda a, b: a + b)
+            ssum = segmented_scan(contrib, starts, lambda a, b: a + b, op="add")
             if agg == "sum":
                 results.append(ssum.astype(vdt))
             else:
                 cnt = segmented_scan(
-                    svalid.astype(jnp.int64), starts, lambda a, b: a + b
+                    svalid.astype(jnp.int64), starts, lambda a, b: a + b, op="add"
                 )
                 results.append(
                     ssum.astype(jnp.float64)
@@ -111,16 +111,18 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None):
                 )
         elif agg == "count":
             results.append(
-                segmented_scan(svalid.astype(jnp.int64), starts, lambda a, b: a + b)
+                segmented_scan(
+                    svalid.astype(jnp.int64), starts, lambda a, b: a + b, op="add"
+                )
             )
         elif agg == "min":
             init = jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).max
             contrib = jnp.where(svalid, svals, jnp.asarray(init, vdt))
-            results.append(segmented_scan(contrib, starts, jnp.minimum))
+            results.append(segmented_scan(contrib, starts, jnp.minimum, op="min"))
         elif agg == "max":
             init = -jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).min
             contrib = jnp.where(svalid, svals, jnp.asarray(init, vdt))
-            results.append(segmented_scan(contrib, starts, jnp.maximum))
+            results.append(segmented_scan(contrib, starts, jnp.maximum, op="max"))
         else:
             raise OperationNotSupported(f"unknown aggregation {agg!r}")
 

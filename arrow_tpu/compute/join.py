@@ -64,7 +64,7 @@ def probe_bounds(bkeys, bvalid, pkeys, pvalid, ordered: bool = True):
     ordered=False skips the unsort and returns bounds in co-sorted key order
     with probe rows marked by isb==0 — enough for count-only consumers.
     """
-    from ..utils.scans import shift_cummax, sort_limbs
+    from ..utils.scans import prefix_sum, shift_cummax, sort_limbs
 
     n, m = bkeys.shape[0], pkeys.shape[0]
     keys = [
@@ -82,7 +82,7 @@ def probe_bounds(bkeys, bvalid, pkeys, pvalid, ordered: bool = True):
         payload.append(lax.broadcasted_iota(jnp.uint32, (n + m,), 0))
     out = lax.sort([*keys, *payload], num_keys=len(keys))
     skeys, sb = out[: len(keys)], out[len(keys)]
-    b4 = (jnp.cumsum(sb) - sb).astype(jnp.int32)
+    b4 = (prefix_sum(sb) - sb).astype(jnp.int32)
     idx = lax.broadcasted_iota(jnp.int32, (n + m,), 0)
     start = idx == 0
     for sk in skeys:

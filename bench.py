@@ -213,8 +213,8 @@ def main():
         idx = lax.broadcasted_iota(jnp.int32, (n_op,), 0)
         starts = (idx == 0) | (sk != jnp.roll(sk, 1))
         g = jnp.sum(starts, dtype=jnp.uint32)
-        ssum = segmented_scan(sv.astype(jnp.int64), starts, lambda a, b: a + b)
-        scnt = segmented_scan(jnp.ones_like(sv, jnp.int64), starts, lambda a, b: a + b)
+        ssum = segmented_scan(sv.astype(jnp.int64), starts, lambda a, b: a + b, op="add")
+        scnt = segmented_scan(jnp.ones_like(sv, jnp.int64), starts, lambda a, b: a + b, op="add")
         ends = segment_ends(starts, n_op)
         parts = stable_partition(ends, [sk, ssum, scnt])
         live = lax.broadcasted_iota(jnp.uint32, (n_op,), 0) < g
