@@ -113,19 +113,76 @@ def _filter_pallas(data, mask):
     return make_array(out, None, k, data.dtype, data.device)
 
 
+@functools.lru_cache(maxsize=None)
+def _batch_filter_program(signature):
+    """One multi-operand stable partition carrying every column of a batch.
+
+    signature: tuple of (is_bool, has_validity) per column.  A single fused
+    sort moves all columns at once — the gather-per-column formulation costs
+    ~4.5x more on TPU (scans.py cost model: gather ~36ms vs sort ~8ms at 4M).
+    """
+    from ..utils.scans import stable_partition
+
+    def run(mask_words, mask_validity, *flat_cols):
+        select = _select_words(mask_words, mask_validity)
+        bools = B.unpack_bits(select)
+        count = jnp.sum(bools, dtype=jnp.uint32)
+        n = bools.shape[0]
+        operands = []
+        for (is_bool, has_validity), pair in zip(signature, _pairs(flat_cols)):
+            data_w, valid_w = pair
+            operands.append(B.unpack_bits(data_w) if is_bool else data_w)
+            operands.append(B.unpack_bits(valid_w) if has_validity else None)
+        dense = [o for o in operands if o is not None]
+        parts = iter(stable_partition(bools, dense))
+        live = lax.broadcasted_iota(jnp.uint32, (n,), 0) < count
+        outs = []
+        for (is_bool, has_validity) in signature:
+            d = next(parts)
+            if is_bool:
+                outs.append(B.pack_bits(d & live))
+            else:
+                outs.append(jnp.where(live, d, jnp.zeros_like(d)))
+            outs.append(B.pack_bits(next(parts) & live) if has_validity else None)
+        return count, outs
+
+    return jax.jit(run)
+
+
+def _pairs(flat):
+    it = iter(flat)
+    return list(zip(it, it))
+
+
+def _filter_batch(batch: RecordBatch, mask: BooleanArray) -> RecordBatch:
+    cols = batch.columns()
+    signature = tuple(
+        (c.dtype is dt.ArrowType.BOOL, c.validity is not None) for c in cols.values()
+    )
+    flat = []
+    for c in cols.values():
+        flat.extend((c.data, c.validity))
+    prog = _batch_filter_program(signature)
+    count, outs = prog(mask.data, mask.validity, *flat)
+    k = int(count)
+    out_cols = {}
+    for (name, c), d, v in zip(cols.items(), outs[::2], outs[1::2]):
+        out_cols[name] = make_array(d, v, k, c.dtype, c.device)
+    return RecordBatch(out_cols)
+
+
 def filter(
     data: Union[ArrowArrayBase, RecordBatch],
     mask: BooleanArray,
-    pipeline=None,
     method: str = "auto",
 ) -> Union[ArrowArrayBase, RecordBatch]:
     """Compact rows where mask is true (and valid).
 
-    For a RecordBatch, the selection scan runs once and every column shares it.
-    method: "pallas" = the hand-written block-compaction kernel (32-bit no-null
-    primitive columns, 8192-aligned length; measured 8x the sort path on v5e);
-    "sort" = the stable-partition XLA program; "auto" = pallas when eligible on
-    TPU, else sort.
+    For a RecordBatch, ONE fused multi-operand stable partition moves every
+    column (no per-column gathers).  method: "pallas" = the hand-written
+    block-compaction kernel (32-bit no-null primitive columns, 8192-aligned
+    length; measured 8x the sort path on v5e); "sort" = the stable-partition
+    XLA program; "auto" = pallas when eligible on TPU, else sort.
     """
     if mask.dtype is not dt.ArrowType.BOOL:
         raise OperationNotSupported("filter mask must be a BooleanArray")
@@ -143,11 +200,7 @@ def filter(
     if method == "pallas" and pallas_ok:
         return _filter_pallas(data, mask)
     if isinstance(data, RecordBatch):
-        idx, k = filter_indices(mask)
-        from ..kernels import take as _take
-
-        # one shared index vector; each column is a gather over it
-        return RecordBatch({n: _take(c, idx) for n, c in data.columns().items()})
+        return _filter_batch(data, mask)
 
     if len(data) != len(mask):
         raise OperationNotSupported("filter requires equal lengths")

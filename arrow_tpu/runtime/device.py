@@ -5,8 +5,9 @@ TPU-native replacement for the reference's ``GpuDevice``
 acquisition becomes JAX platform/device selection; explicit buffer create/upload/
 readback (`gpu_device.rs:171-265`) becomes `jax.device_put` / `np.asarray` with
 XLA managing the HBM allocator; the compiled-pipeline cache keyed by shader source
-(`gpu_device.rs:145-168`, `append_hashmap.rs:9-34`) becomes the jit cache in
-`arrow_tpu.runtime.jit_cache`.
+(`gpu_device.rs:145-168`, `append_hashmap.rs:9-34`) becomes the lru jit caches in
+`arrow_tpu.ops.kernel` (`_eager_jit`) and `arrow_tpu.runtime.pipeline` (graph
+signature cache).
 
 Like the reference's process-wide ``GPU_DEVICE`` singleton
 (`crates/array/src/lib.rs:17`), a lazily-created default :class:`Device` backs all
