@@ -91,26 +91,134 @@ def filter_indices(mask: BooleanArray) -> Tuple[ArrowArrayBase, int]:
     return make_array(out, None, k, dt.ArrowType.UINT32, mask.device), k
 
 
-def _filter_pallas(data, mask):
-    """Pallas block-compaction path: 32-bit no-null columns, length % 2048 == 0.
+def _spread_mask_words(words):
+    """Double every mask bit: bit i of `words` -> bits 2i, 2i+1 of the result.
 
-    Streams data once through VMEM (log-shift hole-filling network) and writes
-    compacted blocks at dynamic offsets — memory-bound, unlike the sort path.
+    Lets 64-bit columns ride the 32-bit compaction kernel as an interleaved
+    u32 plane of length 2n — the stable network keeps limb pairs adjacent, so
+    no extra limb-split data pass is needed.
     """
-    import jax.lax as _lax
+    def morton(x):  # spread the low 16 bits of x with zero gaps
+        x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+        x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+        x = (x | (x << 2)) & jnp.uint32(0x33333333)
+        x = (x | (x << 1)) & jnp.uint32(0x55555555)
+        return x | (x << 1)
 
-    from .kernels.compaction import compact_pallas
+    lo = morton(words & jnp.uint32(0xFFFF))
+    hi = morton(words >> 16)
+    return jnp.stack([lo, hi], axis=-1).reshape(-1)
 
-    select = _select_words(mask.data, mask.validity)
-    raw = data.data
-    is_float = raw.dtype == jnp.float32
-    x = _lax.bitcast_convert_type(raw, jnp.uint32) if is_float else raw
-    out, count = compact_pallas(x, select)
+
+def _pallas_col_eligible(col) -> bool:
+    n = col.data.shape[0]
+    if col.dtype is dt.ArrowType.BOOL:
+        return n * 32 % 8192 == 0
+    size = dt.item_size(col.dtype)
+    if size == 8:
+        return 2 * n % 8192 == 0
+    return size == 4 and n % 8192 == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_filter_program(signature):
+    """Fused predicate+compaction program over the Pallas kernel.
+
+    signature: tuple per column of (kind, has_validity) with kind in
+    {"w32", "w64", "bool"}.  Every 32-bit/bool column shares ONE kernel call
+    (one mask unpack + rank + network control stream); 64-bit columns share a
+    second call on the bit-doubled mask.
+    """
+    from .kernels.compaction3 import compact_multi_pallas
+
+    def run(mask_words, mask_validity, *flat_cols):
+        select = _select_words(mask_words, mask_validity)
+        count = B.popcount_words(select).astype(jnp.uint32)
+
+        v32, w32, v64 = [], [], []  # (col_index, slot) routing
+        for ci, ((kind, has_validity), (data, validity)) in enumerate(
+            zip(signature, _pairs(flat_cols))
+        ):
+            if kind == "w64":
+                v64.append((ci, lax.bitcast_convert_type(data, jnp.uint32).reshape(-1)))
+            elif kind == "bool":
+                w32.append((ci, data))
+            else:
+                v32.append((ci, data))
+            if has_validity:
+                w32.append((~ci, validity))  # ~ci marks a validity plane
+
+        outs: dict = {}
+        GROUP = 8  # planes per kernel call (VMEM window budget)
+        while v32 or w32:
+            cv, v32 = v32[:GROUP], v32[GROUP:]
+            cw, w32 = w32[: GROUP - len(cv)], w32[GROUP - len(cv):]
+            vres, wres, _ = compact_multi_pallas(
+                tuple(p for _, p in cv), tuple(p for _, p in cw), select
+            )
+            for (ci, _), o in zip(cv, vres):
+                outs[ci] = o
+            for (ci, _), o in zip(cw, wres):
+                outs[ci] = o
+        if v64:
+            select2 = _spread_mask_words(select)
+            while v64:
+                cv, v64 = v64[:GROUP], v64[GROUP:]
+                vres, _, _ = compact_multi_pallas(
+                    tuple(p for _, p in cv), (), select2
+                )
+                for (ci, _), o in zip(cv, vres):
+                    outs[ci] = o
+
+        results = []
+        for ci, ((kind, has_validity), (data, validity)) in enumerate(
+            zip(signature, _pairs(flat_cols))
+        ):
+            n = data.shape[0] * (32 if kind == "bool" else 1)
+            live = lax.broadcasted_iota(jnp.uint32, (n,), 0) < count
+            if kind == "w64":
+                o = lax.bitcast_convert_type(
+                    outs[ci][: 2 * n].reshape(n, 2), data.dtype
+                )
+            elif kind == "bool":
+                o = B.pack_bits((outs[ci][:n] != 0) & live)
+            else:
+                o = outs[ci][:n]
+            results.append(o)
+            if has_validity:
+                results.append(B.pack_bits((outs[~ci][:n] != 0) & live))
+            else:
+                results.append(None)
+        return count, results
+
+    return jax.jit(run)
+
+
+def _col_kind(col) -> str:
+    if col.dtype is dt.ArrowType.BOOL:
+        return "bool"
+    return "w64" if dt.item_size(col.dtype) == 8 else "w32"
+
+
+def _filter_pallas(cols, mask):
+    """Pallas block-compaction path (any mix of 32/64-bit/bool, nullable).
+
+    Streams data once through VMEM (log-shift hole-filling network, pipelined
+    DMA) and writes compacted blocks at dynamic offsets — measured 16.5 Grows/s
+    per 32-bit plane on v5e vs ~0.6 for the stable-partition sort program.
+    """
+    signature = tuple((_col_kind(c), c.validity is not None) for c in cols)
+    flat = []
+    for c in cols:
+        flat.extend((c.data, c.validity))
+    prog = _pallas_filter_program(signature)
+    count, results = prog(mask.data, mask.validity, *flat)
     k = int(count)
-    out = out[: raw.shape[0]]
-    if is_float:
-        out = _lax.bitcast_convert_type(out, jnp.float32)
-    return make_array(out, None, k, data.dtype, data.device)
+    out = [
+        make_array(d, v, k, c.dtype, c.device)
+        for c, d, v in zip(cols, results[::2], results[1::2])
+    ]
+    return out, k
 
 
 @functools.lru_cache(maxsize=None)
@@ -178,32 +286,35 @@ def filter(
 ) -> Union[ArrowArrayBase, RecordBatch]:
     """Compact rows where mask is true (and valid).
 
-    For a RecordBatch, ONE fused multi-operand stable partition moves every
-    column (no per-column gathers).  method: "pallas" = the hand-written
-    block-compaction kernel (32-bit no-null primitive columns, 8192-aligned
-    length; measured 8x the sort path on v5e); "sort" = the stable-partition
-    XLA program; "auto" = pallas when eligible on TPU, else sort.
+    method: "pallas" = the hand-written block-compaction kernel (pipelined
+    DMA, in-kernel mask unpack; any mix of 32/64-bit/bool columns, nullable;
+    measured 16.5 Grows/s per 32-bit plane on v5e); "sort" = the stable-
+    partition XLA program; "auto" = pallas when eligible on TPU, else sort.
+    For a RecordBatch, every column shares one kernel call (one mask unpack +
+    rank + network control stream) — no per-column gathers.
     """
     if mask.dtype is not dt.ArrowType.BOOL:
         raise OperationNotSupported("filter mask must be a BooleanArray")
-    pallas_ok = (
-        isinstance(data, ArrowArrayBase)
-        and data.validity is None
-        and data.dtype is not dt.ArrowType.BOOL
-        and dt.item_size(data.dtype) == 4
-        and data.data.shape[0] % 8192 == 0
-    )
+    if len(data) != len(mask):
+        raise OperationNotSupported("filter requires equal lengths")
+    cols = list(data.columns().values()) if isinstance(data, RecordBatch) else [data]
+    pallas_ok = all(_pallas_col_eligible(c) for c in cols) and len(cols) >= 1
     if method == "auto":
         method = (
             "pallas" if (pallas_ok and jax.default_backend() == "tpu") else "sort"
         )
-    if method == "pallas" and pallas_ok:
-        return _filter_pallas(data, mask)
+    if method == "pallas":
+        if not pallas_ok:
+            raise OperationNotSupported(
+                "pallas filter path requires 8192-padded column buffers"
+            )
+        outs, k = _filter_pallas(cols, mask)
+        if isinstance(data, RecordBatch):
+            return RecordBatch(dict(zip(data.columns().keys(), outs)))
+        return outs[0]
     if isinstance(data, RecordBatch):
         return _filter_batch(data, mask)
 
-    if len(data) != len(mask):
-        raise OperationNotSupported("filter requires equal lengths")
     is_bool = data.dtype is dt.ArrowType.BOOL
     prog = _filter_program(
         int(data.data.shape[0]),

