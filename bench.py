@@ -104,7 +104,11 @@ def main():
 
     small = os.environ.get("ARROW_TPU_BENCH_SMALL", "0") == "1"
     n_elem = 1 << 20 if small else 10_485_760  # reference harness row count
-    n_op = 1 << (20 if small else 24)  # 16M default for operator benches
+    # BASELINE-scale row counts (the 100M-row filter config; sort/agg/join at
+    # 128M, join 64M per side).  Round 1 measured at 16M, which left the
+    # elementwise tier latency-bound and under-sized vs BASELINE.md configs.
+    n_op = 1 << (20 if small else 27)
+    n_elem_big = 1 << (20 if small else 27)
 
     bw = _hbm_bandwidth_bytes()
     _DETAILS.update(
@@ -160,13 +164,13 @@ def main():
         jax.random.key(1)
     )
 
-    from arrow_tpu.compute.kernels.compaction import compact_pallas
+    from arrow_tpu.compute.kernels.compaction3 import compact_multi_pallas
 
     use_pallas_filter = jax.default_backend() == "tpu" and n_op % 8192 == 0
 
     def filter_step(y, mw):
         if use_pallas_filter:
-            o, c = compact_pallas(y, mw)
+            (o,), _, c = compact_multi_pallas((y,), (), mw)
             return o[:n_op], mw
         bools = B.unpack_bits(mw)
         count = jnp.sum(bools, dtype=jnp.uint32)
@@ -186,7 +190,7 @@ def main():
     )
 
     # ---- operator 2: sort (key + payload, stable) -------------------------
-    keys = gen_u32(jax.random.key(2), n_op, 1 << 31)
+    keys = gen_u32(jax.random.key(2), n_op, 1 << 31)  # noqa: E501  (data/mwords stay for the sweep below)
     payload = gen_u32(jax.random.key(3), n_op, 1 << 31)
 
     def sort_step(k, p):
@@ -203,6 +207,8 @@ def main():
             core=True,
         ),
     )
+
+    del keys, payload
 
     # ---- operator 3: hash aggregate (GROUP BY u32, sum+count) -------------
     gkeys = gen_u32(jax.random.key(4), n_op, 1 << 20)
@@ -231,6 +237,28 @@ def main():
         ),
     )
 
+    # BASELINE sweep: the 1K-distinct-keys point rides the MXU one-hot kernel
+    from arrow_tpu.compute.kernels.groupby_mxu import groupby_dense_pallas
+
+    dkeys = gen_u32(jax.random.key(10), n_op, 1 << 10)
+    dvals = gen_u32(jax.random.key(11), n_op, 200).astype(jnp.int32)
+
+    def agg1k_step(k, v):
+        cnt, _tot = groupby_dense_pallas(k, v, nlimb=1)
+        return k ^ (cnt[0] & 1).astype(jnp.uint32), v
+
+    if jax.default_backend() == "tpu":
+        safe(
+            "hash_agg_u32_1k_keys",
+            lambda: record(
+                "hash_agg_u32_1k_keys",
+                n_op,
+                device_seconds_per_iter(agg1k_step, (dkeys, dvals)),
+                n_op * 8,
+            ),
+        )
+    del gkeys, gvals, dkeys, dvals
+
     # ---- operator 4: hash join (u64 keys, count phase) --------------------
     # u64 keys ride as 32-bit limb pairs (compute/join.py::probe_bounds):
     # emulated 64-bit comparators both run ~2x slower and crash some
@@ -257,6 +285,8 @@ def main():
             core=True,
         ),
     )
+
+    del pk, bk
 
     # ---- reference-harness mirrors (elementwise tier) ---------------------
     # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained
@@ -304,8 +334,36 @@ def main():
         ),
     )
 
-    # ---- optional: full selectivity sweep (BASELINE filter config) --------
-    if os.environ.get("ARROW_TPU_BENCH_SWEEP", "0") == "1":
+    # same two at BASELINE scale (the 10M sizes are dispatch-latency-bound)
+    xf_big = gen_f32(jax.random.key(8), n_elem_big)
+    safe(
+        "add_scalar_f32_128m",
+        lambda: record(
+            "add_scalar_f32_128m",
+            n_elem_big,
+            queue_slope(lambda y: y * 1.0001 + 1.5, xf_big, k_lo=4, k_hi=24),
+            n_elem_big * 8,
+        ),
+    )
+    xu_big = gen_u32(jax.random.key(9), n_elem_big, 1000)
+    safe(
+        "sum_u32_128m",
+        lambda: record(
+            "sum_u32_128m",
+            n_elem_big,
+            queue_slope(
+                lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)),
+                xu_big,
+                k_lo=4,
+                k_hi=24,
+            ),
+            n_elem_big * 8,
+        ),
+    )
+    del xf_big, xu_big
+
+    # ---- full selectivity sweep (BASELINE filter config, always on) --------
+    if os.environ.get("ARROW_TPU_BENCH_SWEEP", "1") == "1":
         for sel in (0.01, 0.10, 0.50, 0.90, 0.99):
             mw = jax.jit(
                 lambda k, s=sel: B.pack_bits(jax.random.bernoulli(k, s, (n_op,)))

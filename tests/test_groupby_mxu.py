@@ -1,0 +1,70 @@
+"""MXU one-hot groupby kernel vs numpy + sort-path equivalence (CPU interpret)."""
+import numpy as np
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.compute.hash_aggregate import hash_aggregate
+from arrow_tpu.compute.kernels.groupby_mxu import SLOTS, groupby_dense_pallas
+
+import jax.numpy as jnp
+
+
+def test_kernel_exact_vs_numpy():
+    rng = np.random.default_rng(0)
+    n = 16384
+    keys = rng.integers(0, 4096, n).astype(np.uint32)
+    vals = rng.integers(0, 2**31 - 1, n).astype(np.uint32)
+    cnt, tot = groupby_dense_pallas(
+        jnp.asarray(keys), jnp.asarray(vals), nlimb=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(cnt), np.bincount(keys, minlength=SLOTS))
+    exp = np.zeros(SLOTS, np.int64)
+    np.add.at(exp, keys, vals.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(tot), exp)
+
+
+def test_public_api_matches_sort_path():
+    rng = np.random.default_rng(1)
+    n = 10_000
+    keys = at.UInt32Array.from_slice(rng.integers(0, 1024, n).astype(np.uint32))
+    vals = at.Int32Array.from_slice(rng.integers(0, 200, n).astype(np.int32))
+    spec = [("s", vals, "sum"), ("c", vals, "count"), ("m", vals, "mean"), ("n", None, "count")]
+    out_mxu = hash_aggregate(keys, spec, method="mxu")
+    out_sort = hash_aggregate(keys, spec, method="sort")
+    assert out_mxu.num_rows == out_sort.num_rows
+    for col in ("key", "s", "c", "n"):
+        np.testing.assert_array_equal(
+            out_mxu[col].raw_values(), out_sort[col].raw_values()
+        )
+    np.testing.assert_allclose(
+        out_mxu["m"].raw_values(), out_sort["m"].raw_values(), rtol=1e-12
+    )
+
+
+def test_mxu_falls_back_on_wide_keys():
+    rng = np.random.default_rng(2)
+    n = 8192
+    keys = at.UInt32Array.from_slice(rng.integers(0, 2**30, n).astype(np.uint32))
+    vals = at.Int32Array.from_slice(rng.integers(0, 100, n).astype(np.int32))
+    # auto must fall back to the sort path (keys exceed the dense domain)
+    out = hash_aggregate(keys, [("s", vals, "sum")], method="auto")
+    ks = np.asarray(out["key"].raw_values())
+    assert out.num_rows == np.unique(np.asarray(keys.raw_values())).size
+    assert (np.diff(ks) > 0).all()
+    with pytest.raises(Exception):
+        hash_aggregate(keys, [("s", vals, "sum")], method="mxu")
+
+
+def test_mxu_negative_values_fall_back():
+    rng = np.random.default_rng(3)
+    n = 8192
+    keys = at.UInt32Array.from_slice(rng.integers(0, 64, n).astype(np.uint32))
+    vals = at.Int32Array.from_slice(rng.integers(-100, 100, n).astype(np.int32))
+    out = hash_aggregate(keys, [("s", vals, "sum")], method="auto")
+    kn = np.asarray(keys.raw_values())
+    vn = np.asarray(vals.raw_values(), dtype=np.int64)
+    exp = np.zeros(64, np.int64)
+    np.add.at(exp, kn, vn)
+    np.testing.assert_array_equal(
+        np.asarray(out["s"].raw_values(), dtype=np.int64), exp[np.unique(kn)]
+    )
