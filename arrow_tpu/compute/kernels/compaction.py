@@ -67,6 +67,13 @@ HEADR = TILE // LANES  # head rows of a window (8)
 MAX_BLOCK = 32768  # rows per block (power of two, multiple of TILE)
 
 
+def _roll(x, shift, axis):
+    """Static roll via pltpu.roll: a single hardware shift where jnp.roll's
+    concat+slice lowering costs 2-3 ops.  (Round 1's remote Mosaic rejected
+    pltpu.roll; the current toolchain compiles it — tools/mosaic_probe.py.)"""
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
 def _flat_roll_left(x, b):
     """y[flat] = x[flat + b] over the row-major (rows, LANES) view (wraps; the
     wrapped-in values are inert: a mover's remaining displacement never
@@ -74,10 +81,10 @@ def _flat_roll_left(x, b):
     k, r = divmod(b, LANES)
     rows = x.shape[0]
     if r == 0:
-        return jnp.roll(x, rows - k, axis=0)
-    lr = jnp.roll(x, LANES - r, axis=1)  # lr[row, c] = x[row, (c+r)%LANES]
-    nx = jnp.roll(lr, rows - 1 - k, axis=0)
-    same = jnp.roll(lr, (rows - k) % rows, axis=0) if k else lr
+        return _roll(x, rows - k, 0)
+    lr = _roll(x, LANES - r, 1)  # lr[row, c] = x[row, (c+r)%LANES]
+    nx = _roll(lr, rows - 1 - k, 0)
+    same = _roll(lr, (rows - k) % rows, 0) if k else lr
     c = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(c < LANES - r, same, nx)
 
@@ -87,10 +94,10 @@ def _flat_roll_right(x, b):
     k, r = divmod(b, LANES)
     rows = x.shape[0]
     if r == 0:
-        return jnp.roll(x, k, axis=0)
-    rr = jnp.roll(x, r, axis=1)  # rr[row, c] = x[row, (c-r)%LANES]
-    pv = jnp.roll(rr, 1 + k, axis=0)
-    same = jnp.roll(rr, k, axis=0) if k else rr
+        return _roll(x, k, 0)
+    rr = _roll(x, r, 1)  # rr[row, c] = x[row, (c-r)%LANES]
+    pv = _roll(rr, 1 + k, 0)
+    same = _roll(rr, k, 0) if k else rr
     c = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(c >= r, same, pv)
 
