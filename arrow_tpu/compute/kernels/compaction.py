@@ -69,9 +69,11 @@ MAX_BLOCK = 32768  # rows per block (power of two, multiple of TILE)
 
 def _roll(x, shift, axis):
     """Static roll via pltpu.roll: a single hardware shift where jnp.roll's
-    concat+slice lowering costs 2-3 ops.  (Round 1's remote Mosaic rejected
-    pltpu.roll; the current toolchain compiles it — tools/mosaic_probe.py.)"""
-    return pltpu.roll(x, shift % x.shape[axis], axis)
+    concat+slice lowering costs 2-3 ops.  The shift amount MUST reach Mosaic
+    as i32: under the library's jax_enable_x64=True a bare Python int lowers
+    as an i64 scalar and `tpu.dynamic_rotate` rejects it ("operand #1 must be
+    32-bit signless integer") — the round-2 fleet-wide crash."""
+    return pltpu.roll(x, jnp.int32(shift % x.shape[axis]), axis)
 
 
 def _flat_roll_left(x, b):
