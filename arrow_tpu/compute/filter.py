@@ -180,10 +180,13 @@ def _pallas_filter_program(signature):
                 o = lax.bitcast_convert_type(
                     outs[ci][: 2 * n].reshape(n, 2), data.dtype
                 )
+                o = jnp.where(live, o, jnp.zeros_like(o))
             elif kind == "bool":
                 o = B.pack_bits((outs[ci][:n] != 0) & live)
             else:
-                o = outs[ci][:n]
+                # zero-padding invariant: compaction leftovers live in rows
+                # [count, n) of the kernel output — mask them like the sort path
+                o = jnp.where(live, outs[ci][:n], jnp.zeros_like(outs[ci][:n]))
             results.append(o)
             if has_validity:
                 results.append(B.pack_bits((outs[~ci][:n] != 0) & live))

@@ -168,7 +168,13 @@ def _mxu_path_eligible(keys, aggregations) -> bool:
         if kind not in ("sum", "count", "mean"):
             return False
         if col is not None and (
-            col.validity is not None or not dt.is_integer(col.dtype)
+            col.validity is not None
+            or not dt.is_integer(col.dtype)
+            # the kernel carries values as i32 limb sources
+            # (groupby_mxu.py:253 astype(int32)): 64-bit columns would
+            # silently truncate, and u64 maxima >= 2^63 wrap negative in the
+            # i64 range check — exclude them statically
+            or dt.info(col.dtype).item_size > 4
         ):
             return False
     return True
@@ -226,7 +232,12 @@ def _hash_aggregate_mxu(keys, aggregations):
 
     from ..array.array import pad_len
 
+    # zero-padding invariant: rows >= num_groups of the padded buffers must be
+    # zero (order's fill_value=0 would replicate slot 0's live values there)
+    live = lax.broadcasted_iota(jnp.int32, (SLOTS,), 0) < num_groups
+
     def _wrap(buf, dtype):
+        buf = jnp.where(live, buf, jnp.zeros_like(buf))
         buf = jnp.pad(buf, (0, pad_len(SLOTS) - SLOTS))  # buffer invariant
         return make_array(buf, None, num_groups, dtype, device)
 

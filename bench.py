@@ -46,16 +46,29 @@ def _hbm_bandwidth_bytes() -> float:
     return 819e9  # conservative default (also used on CPU smoke runs)
 
 
-_FRACS: dict = {}
+# Core metrics are PRE-REGISTERED at the 1e-9 floor: a metric that crashes or
+# wedges contributes ~0 to the geomean instead of silently vanishing from it
+# (round 2 reported the geomean of the single survivor).
+CORE_METRICS = (
+    "filter_i32_50pct",
+    "sort_u32_kv",
+    "hash_agg_u32_1m_keys",
+    "hash_agg_u32_1k_keys",
+    "hash_join_u64_count",
+)
+_FRACS: dict = {m: 1e-9 for m in CORE_METRICS}
 _DETAILS: dict = {}
 
 
 def _emit_final():
-    """Write the headline JSON from whatever metrics completed."""
+    """Write the headline JSON; failed core metrics count as the 1e-9 floor."""
     fracs = [v for v in _FRACS.values()] or [1e-9]
     headline = float(np.exp(np.mean(np.log(np.maximum(fracs, 1e-9)))))
     _DETAILS["core4_geomean_roofline_frac"] = headline
-    _DETAILS["metrics_completed"] = sorted(_FRACS)
+    _DETAILS["metrics_completed"] = sorted(
+        m for m, v in _FRACS.items() if v > 1e-9
+    )
+    _DETAILS["metrics_failed"] = sorted(m for m, v in _FRACS.items() if v <= 1e-9)
     try:
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(_DETAILS, f, indent=2)
@@ -150,11 +163,14 @@ def main():
 
 
     def safe(name, fn):
-        """One wedged/failed metric must not kill the rest of the bench."""
+        """One wedged/failed metric must not kill the rest of the bench; the
+        exception string lands in BENCH_DETAILS.json for diagnosis."""
         try:
             fn()
         except Exception as e:  # noqa: BLE001
-            print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            msg = f"{type(e).__name__}: {e}"
+            _DETAILS[name] = {"error": msg[:2000]}
+            print(f"{name} FAILED: {msg}", file=sys.stderr, flush=True)
 
     # ---- operator 1: filter (predicate + compaction) ----------------------
     # every buffer is loop-carried (returned unchanged) so nothing becomes a
@@ -255,8 +271,12 @@ def main():
                 n_op,
                 device_seconds_per_iter(agg1k_step, (dkeys, dvals)),
                 n_op * 8,
+                core=True,
             ),
         )
+    else:
+        # CPU smoke runs can't exercise the MXU kernel; don't penalize them
+        _FRACS.pop("hash_agg_u32_1k_keys", None)
     del gkeys, gvals, dkeys, dvals
 
     # ---- operator 4: hash join (u64 keys, count phase) --------------------

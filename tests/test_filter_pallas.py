@@ -121,3 +121,23 @@ def test_auto_matches_sort_path():
     out_p = ac.filter(a, _mask(mask), method="pallas")
     out_s = ac.filter(a, _mask(mask), method="sort")
     np.testing.assert_array_equal(out_p.raw_values(), out_s.raw_values())
+
+
+def test_value_planes_zero_padded():
+    """ADVICE r2 low: rows [count, n) of filtered value buffers must be zero
+    (compaction leftovers), matching the sort path's invariant."""
+    rng = np.random.default_rng(11)
+    n = 8192
+    vals = rng.integers(1, 2**31, n, dtype=np.uint32)  # all nonzero
+    mask = rng.random(n) < 0.3
+    a = at.UInt32Array.from_slice(vals)
+    out = ac.filter(a, _mask(mask), method="pallas")
+    buf = np.asarray(out.data)
+    k = len(out)
+    assert (buf[k:] == 0).all()
+
+    v64 = rng.integers(1, 2**62, n, dtype=np.uint64)
+    a64 = at.UInt64Array.from_slice(v64)
+    out64 = ac.filter(a64, _mask(mask), method="pallas")
+    buf64 = np.asarray(out64.data)
+    assert (buf64[len(out64):] == 0).all()

@@ -68,3 +68,34 @@ def test_mxu_negative_values_fall_back():
     np.testing.assert_array_equal(
         np.asarray(out["s"].raw_values(), dtype=np.int64), exp[np.unique(kn)]
     )
+
+
+def test_mxu_64bit_values_fall_back_exact():
+    """ADVICE r2 high: 64-bit value columns must NOT ride the MXU path (the
+    kernel carries values as i32 — values >= 2^32 would silently truncate)."""
+    rng = np.random.default_rng(4)
+    n = 8192
+    keys = at.UInt32Array.from_slice(rng.integers(0, 16, n).astype(np.uint32))
+    big = rng.integers(2**33, 2**40, n).astype(np.int64)
+    vals = at.Int64Array.from_slice(big)
+    out = hash_aggregate(keys, [("s", vals, "sum")], method="auto")
+    kn = np.asarray(keys.raw_values())
+    exp = np.zeros(16, np.int64)
+    np.add.at(exp, kn, big)
+    np.testing.assert_array_equal(
+        np.asarray(out["s"].raw_values(), dtype=np.int64), exp[np.unique(kn)]
+    )
+
+
+def test_mxu_padded_buffer_rows_are_zero():
+    """ADVICE r2 medium: rows >= num_groups of the MXU output buffers must be
+    zero (fill_value=0 in the order gather replicated slot 0 there)."""
+    rng = np.random.default_rng(5)
+    n = 8192
+    keys = at.UInt32Array.from_slice(rng.integers(0, 7, n).astype(np.uint32))
+    vals = at.Int32Array.from_slice(rng.integers(1, 100, n).astype(np.int32))
+    out = hash_aggregate(keys, [("s", vals, "sum"), ("c", vals, "count")], method="mxu")
+    g = out.num_rows
+    for col in ("key", "s", "c"):
+        buf = np.asarray(out[col].data)
+        assert (buf[g:] == 0).all(), f"{col} rows >= num_groups not zeroed"
