@@ -55,25 +55,52 @@ def _valid_bools(data, validity, length):
     return B.unpack_bits(validity) & in_range
 
 
-def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None):
+def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
+                 merge_len=None):
     """Shared sort+segmented-scan group-by core (traceable).
 
     key_data: (n,) keys; kvalid: (n,) bool valid-key mask;
     val_entries: list of (vdata, vvalid_bools) aligned with non-count_all
     entries of agg_spec.  Returns (num_groups, out_keys, [out_agg...]) with
     group rows compacted to the front in ascending key order.
+
+    merge_len (static int): when set, keys are non-null 32-bit and every row
+    < merge_len is valid — the sort runs on the Pallas streaming merge kernel
+    (kernels/merge.py) with values + validity riding as 32-bit planes,
+    instead of the O(log^2 n) full-length `lax.sort`.
     """
-    from ..utils.scans import segment_ends, segmented_scan, stable_partition
+    from ..utils.scans import compact_rows, segment_ends, segmented_scan
 
     n = key_data.shape[0]
-    rank = jnp.where(kvalid, 0, 1).astype(jnp.int32)
-    operands = [rank, key_data]
-    for vdata, vvalid in val_entries:
-        operands.append(vdata)
-        operands.append(vvalid)
-    sorted_ = lax.sort(operands, num_keys=2, is_stable=True)
-    srank, skey = sorted_[0], sorted_[1]
-    in_group = srank == 0
+    idx32 = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    if merge_len is not None:
+        from .kernels.merge import sort_kv_pallas
+
+        planes = []
+        encode = []
+        for vdata, vvalid in val_entries:
+            if vdata.dtype.itemsize < 4:
+                planes.append(vdata.astype(jnp.int32))
+                encode.append(vdata.dtype)
+            else:
+                planes.append(vdata)
+                encode.append(None)
+            planes.append(vvalid.astype(jnp.int32))
+        skey, outs = sort_kv_pallas(key_data, tuple(planes), length=merge_len)
+        sorted_ = [None, skey]
+        for edt, (sv, sf) in zip(encode, zip(outs[::2], outs[1::2])):
+            sorted_.append(sv.astype(edt) if edt is not None else sv)
+            sorted_.append(sf != 0)
+        in_group = idx32 < jnp.int32(merge_len)
+    else:
+        rank = jnp.where(kvalid, 0, 1).astype(jnp.int32)
+        operands = [rank, key_data]
+        for vdata, vvalid in val_entries:
+            operands.append(vdata)
+            operands.append(vvalid)
+        sorted_ = lax.sort(operands, num_keys=2, is_stable=True)
+        srank, skey = sorted_[0], sorted_[1]
+        in_group = srank == 0
     idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
     starts = in_group & ((idx == 0) | (skey != jnp.roll(skey, 1)))
     num_groups = jnp.sum(starts, dtype=jnp.uint32)
@@ -127,7 +154,7 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None):
             raise OperationNotSupported(f"unknown aggregation {agg!r}")
 
     # compact (key, results) at group-end rows to the front, in key order
-    parts = stable_partition(ends, [skey, *results])
+    parts = compact_rows(ends, [skey, *results])
     live = lax.broadcasted_iota(jnp.uint32, (n,), 0) < num_groups
     out_keys = jnp.where(live, parts[0], jnp.zeros_like(parts[0]))
     out_aggs = [jnp.where(live, p, jnp.zeros_like(p)) for p in parts[1:]]
@@ -136,8 +163,9 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None):
 
 @functools.lru_cache(maxsize=None)
 def _groupby_program(spec: tuple):
-    """spec: (n_padded, length, key_has_validity, ((agg, val_dtype, val_has_validity), ...))"""
-    n_padded, length, key_has_validity, agg_spec = spec
+    """spec: (n_padded, length, key_has_validity, use_merge,
+    ((agg, val_dtype, val_has_validity), ...))"""
+    n_padded, length, key_has_validity, use_merge, agg_spec = spec
 
     def run(key_data, key_validity, *val_bufs):
         kvalid = _valid_bools(key_data, key_validity, length)
@@ -151,11 +179,29 @@ def _groupby_program(spec: tuple):
             vi += 2 if val_has_validity else 1
             val_entries.append((vdata, _valid_bools(vdata, vvalidity, length)))
         num_groups, out_keys, out_aggs = groupby_core(
-            key_data, kvalid, val_entries, agg_spec
+            key_data, kvalid, val_entries, agg_spec,
+            merge_len=length if use_merge else None,
         )
         return (num_groups, out_keys, *out_aggs)
 
     return jax.jit(run)
+
+
+def _merge_sort_ok(keys, agg_spec_cols) -> bool:
+    """Whether the group-by sort can ride the Pallas merge kernel.
+    ARROW_TPU_FORCE_MERGE=1 overrides the backend gate (CPU interpret tests)."""
+    import os
+
+    if (
+        jax.default_backend() != "tpu"
+        and os.environ.get("ARROW_TPU_FORCE_MERGE") != "1"
+    ):
+        return False
+    if keys.validity is not None or keys.data.shape[0] % 8192 != 0:
+        return False
+    if keys.data.dtype not in (jnp.int32, jnp.uint32):
+        return False
+    return all(c is None or dt.item_size(c.dtype) <= 4 for c in agg_spec_cols)
 
 
 def _mxu_path_eligible(keys, aggregations) -> bool:
@@ -308,6 +354,7 @@ def hash_aggregate(
         int(keys.data.shape[0]),
         keys.length,
         keys.validity is not None,
+        _merge_sort_ok(keys, [col for _n, col, _k in aggregations]),
         tuple(agg_spec),
     )
     prog = _groupby_program(spec)

@@ -64,7 +64,9 @@ def probe_bounds(bkeys, bvalid, pkeys, pvalid, ordered: bool = True):
     ordered=False skips the unsort and returns bounds in co-sorted key order
     with probe rows marked by isb==0 — enough for count-only consumers.
     """
-    from ..utils.scans import prefix_sum, shift_cummax, sort_limbs
+    from ..utils.scans import (
+        merge_lex_sort, merge_sort_ok, prefix_sum, shift_cummax, sort_limbs,
+    )
 
     n, m = bkeys.shape[0], pkeys.shape[0]
     keys = [
@@ -80,7 +82,11 @@ def probe_bounds(bkeys, bvalid, pkeys, pvalid, ordered: bool = True):
     payload = [isb]
     if ordered:
         payload.append(lax.broadcasted_iota(jnp.uint32, (n + m,), 0))
-    out = lax.sort([*keys, *payload], num_keys=len(keys))
+    use_merge = merge_sort_ok(bkeys, pkeys) and (n + m) % 8192 == 0
+    if use_merge:
+        out = merge_lex_sort(keys, payload)
+    else:
+        out = lax.sort([*keys, *payload], num_keys=len(keys))
     skeys, sb = out[: len(keys)], out[len(keys)]
     b4 = (prefix_sum(sb) - sb).astype(jnp.int32)
     idx = lax.broadcasted_iota(jnp.int32, (n + m,), 0)
@@ -98,20 +104,29 @@ def probe_bounds(bkeys, bvalid, pkeys, pvalid, ordered: bool = True):
         return jnp.where(sb == 0, lo_s, 0), jnp.where(sb == 0, hi_s, 0)
     sorig = out[len(keys) + 1]
     # restore original order: one single-key sort carrying both bounds
-    _, lo_o, hi_o = lax.sort([sorig, lo_s, hi_s], num_keys=1)
+    if use_merge:
+        _, lo_o, hi_o = merge_lex_sort([sorig], [lo_s, hi_s])
+    else:
+        _, lo_o, hi_o = lax.sort([sorig, lo_s, hi_s], num_keys=1)
     lo_p, hi_p = lo_o[n:], hi_o[n:]
     lo_p = jnp.where(pvalid, lo_p, 0)
     hi_p = jnp.where(pvalid, hi_p, 0)
     return lo_p, jnp.maximum(hi_p, lo_p)
 
 
-def build_order(bkeys, bvalid):
-    """Valid build rows' ids in key order (rank -> row id), invalid last."""
-    from ..utils.scans import sort_limbs
+def build_order(bkeys, bvalid, all_valid: bool = False, length: int | None = None):
+    """Valid build rows' ids in key order (rank -> row id), invalid last.
 
-    rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
+    all_valid=True (no validity bitmap) drops the rank key so the sort can
+    ride the Pallas merge kernel; `length` (static) pushes zero-padded buffer
+    rows to the end there (the rank path handles them via bvalid)."""
+    from ..utils.scans import merge_lex_sort, merge_sort_ok, sort_limbs
+
     rows = lax.broadcasted_iota(jnp.uint32, (bkeys.shape[0],), 0)
     limbs = sort_limbs(bkeys)
+    if all_valid and merge_sort_ok(bkeys):
+        return merge_lex_sort(limbs, [rows], length=length)[-1]
+    rank = jnp.where(bvalid, 0, 1).astype(jnp.int32)
     out = lax.sort([rank, *limbs, rows], num_keys=1 + len(limbs), is_stable=True)
     return out[-1]
 
@@ -123,7 +138,7 @@ def _count_program(spec: tuple):
     def run(bkeys, bvalidity, pkeys, pvalidity):
         bvalid = _valid_mask(bkeys, bvalidity, lb)
         pvalid = _valid_mask(pkeys, pvalidity, lp)
-        sorder = build_order(bkeys, bvalid)
+        sorder = build_order(bkeys, bvalid, all_valid=not bv, length=lb)
         lo, hi = probe_bounds(bkeys, bvalid, pkeys, pvalid)
         cnt = (hi - lo).astype(jnp.int64)
         offsets = jnp.cumsum(cnt) - cnt

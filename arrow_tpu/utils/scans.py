@@ -134,3 +134,91 @@ def segment_ends(starts: jnp.ndarray, n_valid) -> jnp.ndarray:
     in_range = idx < n_valid
     is_last = idx == (n_valid - 1)
     return in_range & (nxt | is_last)
+
+
+def compact_rows(flags: jnp.ndarray, operands: Sequence[jnp.ndarray]):
+    """Stable-compact rows where `flags` is True to the front of each operand.
+
+    Like `stable_partition` but routed: on TPU at Pallas-eligible sizes it
+    runs the block-compaction kernel (`compute.kernels.compaction3`) — one
+    streaming HBM pass instead of a full stable sort.  32-bit planes ride
+    natively; 64-bit planes ride as interleaved u32 limbs on a bit-doubled
+    mask (the stable network keeps limb pairs adjacent).  Rows past the
+    selected count are unspecified — callers apply their own live mask.
+    """
+    import jax
+
+    n = flags.shape[0]
+    if jax.default_backend() != "tpu" or n % 8192 != 0:
+        return stable_partition(flags, operands)
+    from ..compute.filter import _spread_mask_words
+    from ..compute.kernels.compaction3 import compact_multi_pallas
+    from . import bits as B
+
+    select = B.pack_bits(flags)
+    outs = [None] * len(operands)
+    v32, v64 = [], []
+    for i, p in enumerate(operands):
+        if p.dtype.itemsize == 8:
+            v64.append((i, lax.bitcast_convert_type(p, jnp.uint32).reshape(-1)))
+        else:
+            v32.append((i, p))
+    GROUP = 8  # planes per kernel call (VMEM window budget)
+    while v32:
+        chunk, v32 = v32[:GROUP], v32[GROUP:]
+        res, _, _ = compact_multi_pallas(tuple(p for _, p in chunk), (), select)
+        for (i, _), o in zip(chunk, res):
+            outs[i] = o[:n]
+    if v64:
+        select2 = _spread_mask_words(select)
+        while v64:
+            chunk, v64 = v64[:GROUP], v64[GROUP:]
+            res, _, _ = compact_multi_pallas(tuple(p for _, p in chunk), (), select2)
+            for (i, _), o in zip(chunk, res):
+                outs[i] = lax.bitcast_convert_type(
+                    o[: 2 * n].reshape(n, 2), operands[i].dtype
+                )
+    return outs
+
+
+def merge_lex_sort(limbs: Sequence[jnp.ndarray], payloads: Sequence[jnp.ndarray],
+                   length=None):
+    """Stable lexicographic sort by 32-bit limb keys (most-significant first)
+    on the Pallas streaming merge kernel, payload planes riding along.
+
+    LSD composition: one stable single-key merge sort per limb, least
+    significant first — stable passes compose into the lexicographic order,
+    which is how wide keys sort on 32-bit TPU lanes without emulated 64-bit
+    comparators.  Returns [sorted limbs..., sorted payloads...].
+    """
+    from ..compute.kernels.merge import sort_kv_pallas
+
+    arrs = list(limbs) + list(payloads)
+    nl = len(limbs)
+    for ki in range(nl - 1, -1, -1):
+        key = arrs[ki]
+        rest = arrs[:ki] + arrs[ki + 1:]
+        k_out, outs = sort_kv_pallas(key, tuple(rest), length=length)
+        arrs = list(outs[:ki]) + [k_out] + list(outs[ki:])
+    return arrs
+
+
+def merge_sort_ok(*key_arrays) -> bool:
+    """Whether `merge_lex_sort` can run here: TPU backend, Pallas-eligible
+    lengths, 32-bit-decomposable integer keys.  ARROW_TPU_FORCE_MERGE=1
+    overrides the backend gate so CPU tests can drive the interpret path."""
+    import os
+
+    import jax
+
+    if (
+        jax.default_backend() != "tpu"
+        and os.environ.get("ARROW_TPU_FORCE_MERGE") != "1"
+    ):
+        return False
+    for k in key_arrays:
+        if k.shape[0] % 8192 != 0 or k.shape[0] == 0:
+            return False
+        if k.dtype not in (jnp.int32, jnp.uint32, jnp.int64, jnp.uint64, jnp.float32):
+            return False
+    return True
