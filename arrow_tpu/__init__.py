@@ -16,9 +16,26 @@ Public surface (≙ the umbrella crate `crates/arrow/src/lib.rs:1-3`):
 """
 
 # 64-bit dtypes (u64 keys for the distributed join/sort tier) require x64.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: Mosaic compiles of the operator kernels cost
+# 200-800s each through the deployment toolchain; caching executables on disk
+# makes every process after the first (tests, bench.py, the driver) hit warm.
+# Opt out with ARROW_TPU_COMPILE_CACHE=0.
+_cache_dir = _os.environ.get(
+    "ARROW_TPU_COMPILE_CACHE", _os.path.expanduser("~/.jax_cache")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags
+        pass
 
 from . import dtypes  # noqa: E402
 from .array import (  # noqa: E402,F401

@@ -692,8 +692,27 @@ def distributed_join(
 # ---------------------------------------------------------------------------
 
 
+def _u32_planes(arr):
+    """Encode a column as u32 planes for the fused exchange tensor."""
+    if jnp.dtype(arr.dtype).itemsize == 8:
+        w = lax.bitcast_convert_type(arr, jnp.uint32)
+        return [w[:, 0], w[:, 1]]
+    if arr.dtype == jnp.uint32:
+        return [arr]
+    return [lax.bitcast_convert_type(arr, jnp.uint32)]
+
+
+def _u32_decode(words, dtype):
+    """Inverse of `_u32_planes` given the per-slot gathered word planes."""
+    dtype = jnp.dtype(dtype)
+    if dtype.itemsize == 8:
+        return lax.bitcast_convert_type(jnp.stack(words, axis=-1), dtype)
+    return words[0] if dtype == jnp.uint32 else lax.bitcast_convert_type(words[0], dtype)
+
+
 @functools.lru_cache(maxsize=None)
-def _dist_sort_program(mesh_key, axis, p, cap, out_cap, n_samples, key_dt, payload_spec):
+def _dist_sort_program(mesh_key, axis, p, cap, out_cap, bucket, n_samples, key_dt,
+                       payload_spec):
     mesh = _MESHES[mesh_key]
 
     def per_shard(counts, key_data, *payloads):
@@ -722,11 +741,14 @@ def _dist_sort_program(mesh_key, axis, p, cap, out_cap, n_samples, key_dt, paylo
         t_s, order = lax.sort([dest, rows], num_keys=1, is_stable=True)
         cnt = jnp.zeros((p + 1,), jnp.int32).at[dest].add(1)[:p]
         starts = jnp.cumsum(cnt) - cnt
-        bucket = out_cap  # generous: each dest bucket can hold a full shard
+        # bucket is sized from the expected per-destination row count (cap/p
+        # x a static skew factor), NOT out_cap: the send tensor is
+        # (p, bucket, planes) = O(cap x skew), no longer O(p x out_cap).
+        # Buckets the splitter histogram overflows raise at the wrapper.
         j_ids = lax.broadcasted_iota(jnp.int32, (p, bucket), 1)
-        slot_live = j_ids < jnp.minimum(cnt, bucket)[:, None]
         gidx = jnp.clip(starts[:, None] + j_ids, 0, cap - 1)
         src_rows = order[gidx]
+        send_over = jnp.any(cnt > bucket)
 
         rcnt = lax.all_to_all(jnp.minimum(cnt, bucket)[:, None], axis, 0, 0).reshape(p)
         roff = jnp.cumsum(rcnt) - rcnt
@@ -736,20 +758,31 @@ def _dist_sort_program(mesh_key, axis, p, cap, out_cap, n_samples, key_dt, paylo
         j_of = jnp.clip((out_i - roff[s_of]).astype(jnp.int32), 0, bucket - 1)
         live_out = out_i < jnp.minimum(total, out_cap)
 
-        send_k = nkeys[src_rows]
-        recv_k = lax.all_to_all(send_k, axis, 0, 0)
-        local_k = jnp.where(live_out, recv_k[s_of, j_of], maxval)
-
-        # local sort of received keys (+payloads)
-        recv_payloads = []
+        # ONE fused all_to_all: key + every payload column ride as u32 planes
+        # of a single (p, bucket, nplanes) tensor (one collective per
+        # exchange, not one per column)
+        planes = _u32_planes(nkeys)
+        slices = [(0, len(planes), nkeys.dtype)]
         for pb in payloads:
             pd = pb.reshape(-1)
-            sendp = pd[src_rows]
-            recvp = lax.all_to_all(sendp, axis, 0, 0)
-            recv_payloads.append(jnp.where(live_out, recvp[s_of, j_of], jnp.zeros_like(pd[:1])[0]))
+            ps = _u32_planes(pd)
+            slices.append((len(planes), len(planes) + len(ps), pd.dtype))
+            planes.extend(ps)
+        send = jnp.stack([pl[src_rows] for pl in planes], axis=-1)
+        recv = lax.all_to_all(send, axis, 0, 0)  # (p, bucket, nplanes)
+
+        def dec(sl):
+            lo, hi, dtp = sl
+            return _u32_decode([recv[s_of, j_of, i] for i in range(lo, hi)], dtp)
+
+        local_k = jnp.where(live_out, dec(slices[0]), maxval)
+        recv_payloads = [
+            jnp.where(live_out, dec(sl), jnp.zeros((), sl[2]))
+            for sl in slices[1:]
+        ]
         sorted_all = lax.sort([local_k, *recv_payloads], num_keys=1, is_stable=True)
         new_count = jnp.minimum(total, out_cap).astype(jnp.int32)
-        overflow = total > out_cap
+        overflow = (total > out_cap) | send_over
         return (new_count[None], overflow[None], *[s[None] for s in sorted_all])
 
     n_payloads = len(payload_spec)
@@ -765,11 +798,16 @@ def distributed_sort(
     key: str,
     out_capacity: Optional[int] = None,
     n_samples: int = 256,
+    skew_factor: int = 4,
     check: bool = True,
 ) -> ShardedBatch:
     """Globally sort by `key`: sampled splitters -> range-partition all-to-all
     -> local sort.  Shard s holds globally-ordered range s.  Null keys are
-    unsupported (sort semantics of the bench configs: dense key+payload)."""
+    unsupported (sort semantics of the bench configs: dense key+payload).
+
+    skew_factor bounds the per-destination send bucket at skew_factor x the
+    balanced share (cap / num_shards); a key distribution the sampled
+    splitters mis-balance by more than that raises (raise skew_factor)."""
     rt = sb.runtime
     kcol = sb.columns[key]
     if kcol.validity is not None or kcol.dtype is dt.ArrowType.BOOL:
@@ -780,14 +818,18 @@ def distributed_sort(
         if col.validity is not None or col.dtype is dt.ArrowType.BOOL:
             raise OperationNotSupported("distributed_sort payload must be non-null primitive")
     out_cap = out_capacity or 2 * sb.capacity
+    bucket = min(out_cap, skew_factor * -(-sb.capacity // rt.num_shards))
     prog = _dist_sort_program(
-        _mesh_for(rt), rt.axis, rt.num_shards, sb.capacity, out_cap, n_samples,
+        _mesh_for(rt), rt.axis, rt.num_shards, sb.capacity, out_cap, bucket,
+        n_samples,
         str(kcol.data.dtype), tuple((str(sb.columns[n].data.dtype),) for n in payload_names),
     )
     outs = prog(sb.counts, kcol.data, *[sb.columns[n].data for n in payload_names])
     new_counts, overflow = outs[0], outs[1]
     if check and bool(jnp.any(overflow)):
-        raise ArrowTpuError("distributed_sort capacity overflow; raise out_capacity")
+        raise ArrowTpuError(
+            "distributed_sort capacity overflow; raise out_capacity/skew_factor"
+        )
     cols = {key: ShardedColumn(outs[2], None, kcol.dtype)}
     for n, buf in zip(payload_names, outs[3:]):
         cols[n] = ShardedColumn(buf, None, sb.columns[n].dtype)

@@ -93,7 +93,6 @@ def shuffle_shard_local(axis, p, cap, bucket, out_cap, c, key_data, payloads):
 
     # (p, bucket) gather map into the dest-grouped ordering
     j_ids = lax.broadcasted_iota(jnp.int32, (p, bucket), 1)
-    slot_live = j_ids < jnp.minimum(cnt, bucket)[:, None]
     gidx = jnp.clip(starts[:, None] + j_ids, 0, cap - 1)
     src_rows = order[gidx]  # (p, bucket) local row ids to send
 
@@ -113,15 +112,40 @@ def shuffle_shard_local(axis, p, cap, bucket, out_cap, c, key_data, payloads):
     j_of = jnp.clip(j_of, 0, bucket - 1)
     live_out = out_i < jnp.minimum(total, out_cap)
 
-    outs = []
+    # ONE fused all_to_all: every payload column rides as u32 planes of a
+    # single (p, bucket, nplanes) tensor (bools as 0/1 words, 64-bit columns
+    # as lo/hi limb pairs) — one collective per exchange, not one per column
+    planes, slices = [], []
     for vals, is_bool in payloads:
-        send = vals[src_rows] & slot_live if is_bool else vals[src_rows]
-        recv = lax.all_to_all(send, axis, 0, 0, tiled=False)
-        out_vals = recv[s_of, j_of]
         if is_bool:
-            outs.append(out_vals & live_out)
+            # receiver masks with live_out; slots past a bucket's count are
+            # never read (j_of < rcnt), so no send-side slot_live mask needed
+            ps = [vals.astype(jnp.uint32)]
+        elif jnp.dtype(vals.dtype).itemsize == 8:
+            w = lax.bitcast_convert_type(vals, jnp.uint32)
+            ps = [w[..., 0], w[..., 1]]
+        elif vals.dtype == jnp.uint32:
+            ps = [vals]
         else:
-            outs.append(jnp.where(live_out, out_vals, jnp.zeros_like(out_vals)))
+            ps = [lax.bitcast_convert_type(vals, jnp.uint32)]
+        slices.append((len(planes), len(planes) + len(ps)))
+        planes.extend(ps)
+    send = jnp.stack([pl[src_rows] for pl in planes], axis=-1)
+    recv = lax.all_to_all(send, axis, 0, 0, tiled=False)  # (p, bucket, nplanes)
+
+    outs = []
+    for (vals, is_bool), (lo, hi) in zip(payloads, slices):
+        words = [recv[s_of, j_of, i] for i in range(lo, hi)]
+        if is_bool:
+            outs.append((words[0] != 0) & live_out)
+            continue
+        if jnp.dtype(vals.dtype).itemsize == 8:
+            out_vals = lax.bitcast_convert_type(jnp.stack(words, axis=-1), vals.dtype)
+        elif vals.dtype == jnp.uint32:
+            out_vals = words[0]
+        else:
+            out_vals = lax.bitcast_convert_type(words[0], vals.dtype)
+        outs.append(jnp.where(live_out, out_vals, jnp.zeros_like(out_vals)))
 
     new_count = jnp.minimum(total, out_cap).astype(jnp.int32)
     return new_count, over_send | over_recv, outs
