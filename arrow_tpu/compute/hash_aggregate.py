@@ -108,13 +108,17 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
     ends = segment_ends(starts, n_valid)
 
     results = []
+    post = []  # per-result dtype conversion applied AFTER compaction: count
+    # scans run in int32 (counts <= n < 2^31) so they ride the cheap 32-bit
+    # scan/compaction planes, widening to the Arrow INT64 result at the end
     vi = 0
     for agg, val_dtype_str, _ in agg_spec:
         if agg == "count_all":
             seg_cnt = segmented_scan(
-                in_group.astype(jnp.int64), starts, lambda a, b: a + b, op="add"
+                in_group.astype(jnp.int32), starts, lambda a, b: a + b, op="add"
             )
             results.append(seg_cnt)
+            post.append(jnp.int64)
             continue
         vdt = jnp.dtype(val_dtype_str)
         svals = sorted_[2 + 2 * vi]
@@ -128,28 +132,33 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
             ssum = segmented_scan(contrib, starts, lambda a, b: a + b, op="add")
             if agg == "sum":
                 results.append(ssum.astype(vdt))
+                post.append(None)
             else:
                 cnt = segmented_scan(
-                    svalid.astype(jnp.int64), starts, lambda a, b: a + b, op="add"
+                    svalid.astype(jnp.int32), starts, lambda a, b: a + b, op="add"
                 )
                 results.append(
                     ssum.astype(jnp.float64)
                     / jnp.maximum(cnt, 1).astype(jnp.float64)
                 )
+                post.append(None)
         elif agg == "count":
             results.append(
                 segmented_scan(
-                    svalid.astype(jnp.int64), starts, lambda a, b: a + b, op="add"
+                    svalid.astype(jnp.int32), starts, lambda a, b: a + b, op="add"
                 )
             )
+            post.append(jnp.int64)
         elif agg == "min":
             init = jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).max
             contrib = jnp.where(svalid, svals, jnp.asarray(init, vdt))
             results.append(segmented_scan(contrib, starts, jnp.minimum, op="min"))
+            post.append(None)
         elif agg == "max":
             init = -jnp.inf if jnp.issubdtype(vdt, jnp.floating) else jnp.iinfo(vdt).min
             contrib = jnp.where(svalid, svals, jnp.asarray(init, vdt))
             results.append(segmented_scan(contrib, starts, jnp.maximum, op="max"))
+            post.append(None)
         else:
             raise OperationNotSupported(f"unknown aggregation {agg!r}")
 
@@ -157,7 +166,11 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
     parts = compact_rows(ends, [skey, *results])
     live = lax.broadcasted_iota(jnp.uint32, (n,), 0) < num_groups
     out_keys = jnp.where(live, parts[0], jnp.zeros_like(parts[0]))
-    out_aggs = [jnp.where(live, p, jnp.zeros_like(p)) for p in parts[1:]]
+    out_aggs = [
+        jnp.where(live, p, jnp.zeros_like(p)).astype(t) if t is not None
+        else jnp.where(live, p, jnp.zeros_like(p))
+        for p, t in zip(parts[1:], post)
+    ]
     return num_groups, out_keys, out_aggs
 
 

@@ -105,14 +105,21 @@ def _watchdog(deadline_s: float):
 
 def main():
     t_start = time.time()
-    _watchdog(float(os.environ.get("ARROW_TPU_BENCH_DEADLINE", "1500")))
+    # deadline covers a COLD compile cache (~800s per merge-kernel shape
+    # through the deployment toolchain); warm-cache runs finish in minutes
+    _watchdog(float(os.environ.get("ARROW_TPU_BENCH_DEADLINE", "3300")))
     import jax
+
+    if os.environ.get("ARROW_TPU_BENCH_CPU") == "1":
+        # the deployment TPU plugin ignores JAX_PLATFORMS; only the config
+        # flag restricts discovery (CPU smoke runs of this harness)
+        jax.config.update("jax_platforms", "cpu")
     import jax.lax as lax
     import jax.numpy as jnp
 
     import arrow_tpu  # noqa: F401  (x64 on)
     from arrow_tpu.utils import bits as B
-    from arrow_tpu.utils.scans import segment_ends, segmented_scan, stable_partition
+    from arrow_tpu.utils.scans import stable_partition
     from arrow_tpu.utils.timing import device_seconds_per_iter
 
     small = os.environ.get("ARROW_TPU_BENCH_SMALL", "0") == "1"
@@ -209,7 +216,15 @@ def main():
     keys = gen_u32(jax.random.key(2), n_op, 1 << 31)  # noqa: E501  (data/mwords stay for the sweep below)
     payload = gen_u32(jax.random.key(3), n_op, 1 << 31)
 
+    # the Pallas streaming merge sort (the library's sort(method="merge")
+    # path, kernels/merge.py); CPU smoke falls back to lax.sort
+    use_merge_sort = jax.default_backend() == "tpu" and n_op % 8192 == 0
+    from arrow_tpu.compute.kernels.merge import sort_kv_pallas
+
     def sort_step(k, p):
+        if use_merge_sort:
+            ok, (op,) = sort_kv_pallas(k, (p,))
+            return ok, op
         out = lax.sort([k, p], num_keys=1, is_stable=True)
         return out[0], out[1]
 
@@ -227,20 +242,26 @@ def main():
     del keys, payload
 
     # ---- operator 3: hash aggregate (GROUP BY u32, sum+count) -------------
+    # the LIBRARY's group-by program (hash_aggregate's sort path: Pallas merge
+    # sort + streaming segmented scans + Pallas compaction on TPU)
     gkeys = gen_u32(jax.random.key(4), n_op, 1 << 20)
     gvals = gen_u32(jax.random.key(5), n_op, 200).astype(jnp.int32)
 
+    from arrow_tpu.compute.hash_aggregate import _groupby_program
+
+    gprog = _groupby_program(
+        (
+            n_op,
+            n_op,
+            False,
+            jax.default_backend() == "tpu" and n_op % 8192 == 0,
+            (("sum", "int32", False), ("count_all", "", False)),
+        )
+    )
+
     def agg_step(k, v):
-        sk, sv = lax.sort([k, v], num_keys=1, is_stable=True)
-        idx = lax.broadcasted_iota(jnp.int32, (n_op,), 0)
-        starts = (idx == 0) | (sk != jnp.roll(sk, 1))
-        g = jnp.sum(starts, dtype=jnp.uint32)
-        ssum = segmented_scan(sv.astype(jnp.int64), starts, lambda a, b: a + b, op="add")
-        scnt = segmented_scan(jnp.ones_like(sv, jnp.int64), starts, lambda a, b: a + b, op="add")
-        ends = segment_ends(starts, n_op)
-        parts = stable_partition(ends, [sk, ssum, scnt])
-        live = lax.broadcasted_iota(jnp.uint32, (n_op,), 0) < g
-        return jnp.where(live, parts[0], jnp.zeros_like(parts[0])), v
+        _ng, gkey, _gsum, _gcnt = gprog(k, None, v)
+        return k ^ (gkey[0] & jnp.uint32(1)), v
 
     safe(
         "hash_agg_u32_1m_keys",
