@@ -1,9 +1,10 @@
 """Pallas streaming pairwise-merge kernel — the sort substrate.
 
-Full sorts run as: ONE batched XLA sort producing 8192-element runs
-(measured 1.35 Grows/s at 128M — 6x XLA's flat sort, which burns its
-O(log^2 n) network on the full length), then log2(n/8192) passes of this
-kernel, each merging adjacent run pairs in a single HBM round trip.
+Full sorts run as: ONE batched XLA sort producing 8192-element runs (the
+batched network is ~4x cheaper per element than XLA's flat full-length sort),
+then log2(n/8192) passes of this kernel, each merging adjacent run pairs in a
+single HBM round trip.  Measured throughput lives in BENCH_DETAILS.json
+(`sort_u32_kv`); design rationale in docs/sort_design_notes.md.
 
 The run length is a RUNTIME SCALAR, so one compiled kernel serves every pass
 of a given n (the remote Mosaic compiler costs 20-40s per compile).

@@ -419,6 +419,17 @@ def main():
                 ),
             )
 
+    # N>=2 scaling efficiency (tools/scaling_bench.py: multi-process
+    # jax.distributed over localhost — the BASELINE >=75% metric's
+    # measurement machinery; real N>=2 TPU hosts are unreachable here)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+        ) as f:
+            _DETAILS["scaling_multiprocess_cpu"] = json.load(f)
+    except Exception:
+        pass
+
     _DETAILS["total_bench_seconds"] = time.time() - t_start
     _emit_final()
 

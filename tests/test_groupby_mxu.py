@@ -99,3 +99,20 @@ def test_mxu_padded_buffer_rows_are_zero():
     for col in ("key", "s", "c"):
         buf = np.asarray(out[col].data)
         assert (buf[g:] == 0).all(), f"{col} rows >= num_groups not zeroed"
+
+
+def test_mxu_key_domain_hint_skips_range_check():
+    rng = np.random.default_rng(6)
+    n = 8192
+    keys = at.UInt32Array.from_slice(rng.integers(0, 256, n).astype(np.uint32))
+    vals = at.Int32Array.from_slice(rng.integers(0, 200, n).astype(np.int32))
+    out = hash_aggregate(
+        keys, [("s", vals, "sum")], method="mxu", key_domain=(0, 256), value_bits=8
+    )
+    kn = np.asarray(keys.raw_values())
+    vn = np.asarray(vals.raw_values(), dtype=np.int64)
+    exp = np.zeros(256, np.int64)
+    np.add.at(exp, kn, vn)
+    np.testing.assert_array_equal(
+        np.asarray(out["s"].raw_values(), dtype=np.int64), exp[np.unique(kn)]
+    )

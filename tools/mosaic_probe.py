@@ -7,13 +7,24 @@ partition / hash-agg / join kernels want: dynamic lane gather
 (take_along_axis), int8 MXU matmul, sub-8-row dynamic-offset DMA, in-VMEM
 dynamic slices, cumsum. Run: python tools/mosaic_probe.py [--quick]
 
-Results go to stdout; copy the matrix into docs/mosaic_notes.md.
+Results go to stdout; the standing capability matrix lives in
+docs/mosaic_notes.md.
+
+The probe runs in the LIBRARY's numerics environment (importing arrow_tpu
+turns x64 on): round 2 probed with x64 off and concluded pltpu.roll compiled,
+but under x64 the Python-int shift reached Mosaic as i64 and crashed every
+kernel on the chip — probe conclusions are only valid in the environment the
+kernels actually run in (VERDICT r2 weak #3).
 """
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import arrow_tpu  # noqa: F401  (x64 + compile cache: the library's env)
 import jax
 import jax.lax as lax
 import jax.numpy as jnp
