@@ -82,15 +82,21 @@ def _payload_colspec(col) -> Tuple[str, bool, str]:
 
 
 def _merge_eligible(keys, descending: bool, force: bool = False) -> bool:
-    """force=True (method="merge") skips the backend gate so CPU tests can
-    drive the kernel in interpret mode."""
+    """force=True (method="merge") or ARROW_TPU_FORCE_MERGE=1 skips the
+    backend gate so CPU tests can drive the kernel in interpret mode."""
+    import os
+
     if descending or keys.validity is not None:
         return False
     if keys.dtype not in _MERGE_KEY_DTYPES:
         return False
     if keys.data.shape[0] % 8192 != 0:
         return False
-    return force or jax.default_backend() == "tpu"
+    return (
+        force
+        or jax.default_backend() == "tpu"
+        or os.environ.get("ARROW_TPU_FORCE_MERGE") == "1"
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -176,10 +182,28 @@ def _argsort_program(data, validity, length, descending, *payloads):
     return out[1:]  # sorted key, row order, sorted payloads
 
 
+@functools.lru_cache(maxsize=None)
+def _merge_argsort_program(spec):
+    n, length = spec
+    from .kernels.merge import sort_kv_pallas
+
+    def run(key_data):
+        rows = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        _, (order,) = sort_kv_pallas(key_data, (rows,), length=length)
+        live = rows < jnp.uint32(length)
+        return jnp.where(live, order, jnp.zeros_like(order))
+
+    return jax.jit(run)
+
+
 def argsort(a: ArrowArrayBase, descending: bool = False) -> ArrowArrayBase:
     """Stable permutation (UInt32Array) sorting `a` (nulls last)."""
     if a.dtype not in _SORTABLE:
         raise OperationNotSupported(f"sort not supported for {a.dtype.value}")
+    if _merge_eligible(a, descending):
+        prog = _merge_argsort_program((int(a.data.shape[0]), a.length))
+        order = prog(a.data)
+        return make_array(order, None, a.length, dt.ArrowType.UINT32, a.device)
     outs = _argsort_program(a.data, a.validity, a.length, descending)
     order = outs[1]
     return make_array(order, None, a.length, dt.ArrowType.UINT32, a.device)

@@ -154,3 +154,16 @@ def test_join_merge_path_matches_numpy(monkeypatch):
     assert t == exp_total
     got_pairs = set(zip(pi_np.tolist(), bi_np.tolist()))
     assert got_pairs == exp_pairs
+
+
+def test_argsort_merge_path(monkeypatch):
+    monkeypatch.setenv("ARROW_TPU_FORCE_MERGE", "1")
+    from arrow_tpu.compute.sort import argsort
+
+    rng = np.random.default_rng(7)
+    n = N - 100
+    keys = rng.integers(0, 50, n).astype(np.uint32)  # dupes: stability check
+    order = argsort(at.UInt32Array.from_slice(keys))
+    np.testing.assert_array_equal(
+        np.asarray(order.raw_values(), np.uint32), np.argsort(keys, kind="stable")
+    )
