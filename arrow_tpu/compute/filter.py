@@ -175,21 +175,19 @@ def _pallas_filter_program(signature):
             zip(signature, _pairs(flat_cols))
         ):
             n = data.shape[0] * (32 if kind == "bool" else 1)
-            live = lax.broadcasted_iota(jnp.uint32, (n,), 0) < count
+            # zero-padding invariant: the kernel zeroes rows >= count
+            # in-kernel (compaction3 epilogue) — no masking pass needed here
             if kind == "w64":
                 o = lax.bitcast_convert_type(
                     outs[ci][: 2 * n].reshape(n, 2), data.dtype
                 )
-                o = jnp.where(live, o, jnp.zeros_like(o))
             elif kind == "bool":
-                o = B.pack_bits((outs[ci][:n] != 0) & live)
+                o = B.pack_bits(outs[ci][:n] != 0)
             else:
-                # zero-padding invariant: compaction leftovers live in rows
-                # [count, n) of the kernel output — mask them like the sort path
-                o = jnp.where(live, outs[ci][:n], jnp.zeros_like(outs[ci][:n]))
+                o = outs[ci][:n]
             results.append(o)
             if has_validity:
-                results.append(B.pack_bits((outs[~ci][:n] != 0) & live))
+                results.append(B.pack_bits(outs[~ci][:n] != 0))
             else:
                 results.append(None)
         return count, results

@@ -201,14 +201,14 @@ def _groupby_program(spec: tuple):
 
 
 def _merge_sort_ok(keys, agg_spec_cols) -> bool:
-    """Whether the group-by sort can ride the Pallas merge kernel.
-    ARROW_TPU_FORCE_MERGE=1 overrides the backend gate (CPU interpret tests)."""
+    """Whether the group-by sort rides the Pallas merge kernel.  Opt-in via
+    ARROW_TPU_FORCE_MERGE=1 only: measured at 128M rows the merge kernel is
+    slower than the fused multi-operand lax.sort (see sort.py
+    _merge_eligible); the Pallas wins that stay on by default here are the
+    streaming segmented scans and the compaction (compact_rows)."""
     import os
 
-    if (
-        jax.default_backend() != "tpu"
-        and os.environ.get("ARROW_TPU_FORCE_MERGE") != "1"
-    ):
+    if os.environ.get("ARROW_TPU_FORCE_MERGE") != "1":
         return False
     if keys.validity is not None or keys.data.shape[0] % 8192 != 0:
         return False

@@ -55,6 +55,7 @@ TILE = 1024  # HBM DMA alignment granule (elements)
 HEADR = TILE // LANES  # head rows of a window (8)
 MAX_BLOCK = 32768
 NSLOT = 3  # window slots: read-ahead i+1 | compute i | drain i-1
+ZSLOT = NSLOT  # extra always-zero window slot feeding the tail-zero epilogue
 
 
 def _unpack_block(w, subl: int):
@@ -97,7 +98,8 @@ def _make_kernel(block: int, nv: int, nw: int):
         sem_v = refs[k]; k += 1
         sem_w = refs[k]; k += 1
         sem_m = refs[k]; k += 1
-        sem_wr = refs[k]
+        sem_wr = refs[k]; k += 1
+        sem_z = refs[k]
 
         n_blocks = nb_ref[0]
         ii = lax.broadcasted_iota
@@ -155,6 +157,8 @@ def _make_kernel(block: int, nv: int, nw: int):
             rd_m(i).start()
 
         start_reads(jnp.int32(0))
+        for p in range(np_):  # the zero slot never holds data
+            winb[p][ZSLOT] = jnp.zeros((subw, LANES), winb[p].dtype)
 
         def body(i, state):
             off, off_prev = state
@@ -246,6 +250,70 @@ def _make_kernel(block: int, nv: int, nw: int):
         for p in range(np_):
             wr(n_blocks - 1, off_prev, p).wait()
 
+        # ---- epilogue: zero-padding invariant, in-kernel -------------------
+        # rows >= count of every out plane are zeroed here (saving callers a
+        # full read+write masking pass over the outputs):
+        #  1. the final window (which contains the count boundary) is masked
+        #     in VMEM and re-written (ordered after its first write, awaited
+        #     above);
+        #  2. the stale tail beyond it is overwritten from the dedicated
+        #     always-zero window slot ZSLOT in a 2-deep pipelined DMA loop.
+        # Out buffers carry `subw` rows of extra capacity so the last chunk
+        # may overrun the documented capacity instead of needing a clamp.
+        ar_last = lax.div(off_prev, jnp.int32(TILE)) * jnp.int32(HEADR)
+        iw = ii(jnp.int32, (subw, LANES), 0) * LANES + ii(jnp.int32, (subw, LANES), 1)
+        dead = (ar_last * jnp.int32(LANES) + iw) >= off
+        s_last = lax.rem(n_blocks - 1, jnp.int32(NSLOT))
+        for slot in range(NSLOT):
+            @pl.when(jnp.int32(slot) == s_last)
+            def _():
+                for p in range(np_):
+                    winb[p][slot] = jnp.where(
+                        dead,
+                        jnp.zeros((subw, LANES), winb[p].dtype),
+                        winb[p][slot],
+                    )
+        for p in range(np_):
+            wr(n_blocks - 1, off_prev, p).start()
+        for p in range(np_):
+            wr(n_blocks - 1, off_prev, p).wait()
+
+        def wrz(j, par, p):
+            row0 = pl.multiple_of(
+                z0 + j * jnp.int32(subw), HEADR
+            )  # z0 and subw are HEADR-multiples
+            return pltpu.make_async_copy(
+                winb[p].at[ZSLOT],
+                outs[p].at[pl.ds(row0, subw), :],
+                sem_z.at[par, jnp.int32(p)],
+            )
+
+        z0 = ar_last + jnp.int32(subw)
+        # documented capacity rows: n/LANES data rows (= n_blocks*subl) + subw
+        r_base = n_blocks * jnp.int32(subl) + jnp.int32(subw)
+        nz = lax.div(r_base - z0 + jnp.int32(subw - 1), jnp.int32(subw))
+
+        def zbody(j, c):
+            par = lax.rem(j, jnp.int32(2))
+
+            @pl.when(j >= 2)
+            def _():
+                for p in range(np_):
+                    wrz(j - 2, par, p).wait()
+
+            for p in range(np_):
+                wrz(j, par, p).start()
+            return c
+
+        lax.fori_loop(jnp.int32(0), nz, zbody, jnp.int32(0))
+
+        def zdrain(j, c):
+            for p in range(np_):
+                wrz(j, lax.rem(j, jnp.int32(2)), p).wait()
+            return c
+
+        lax.fori_loop(jnp.maximum(nz - 2, jnp.int32(0)), nz, zdrain, jnp.int32(0))
+
     return kernel, subw, win
 
 
@@ -266,7 +334,9 @@ def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = 
     in-kernel and compacted as 0/1 int32 planes (validity bitmaps, bools);
     mask_words: (n/32,) u32 selection words (bits >= n MUST be zero).
     n % 8192 == 0.  Returns (outs, wouts, count): each out has capacity
-    n + block + TILE elements with selected rows dense at [0, count).
+    n + block + TILE (+ epilogue slack) elements with selected rows dense at
+    [0, count) and ALL rows >= count zeroed in-kernel (the zero-padding
+    invariant costs no separate masking pass).
     """
     if interpret is None:  # CPU (tests/CI) runs the interpreter
         interpret = jax.default_backend() != "tpu"
@@ -284,9 +354,9 @@ def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = 
 
     scratch = []
     for p in range(nv):
-        scratch.append(pltpu.VMEM((NSLOT, subw, LANES), vplanes[p].dtype))
+        scratch.append(pltpu.VMEM((NSLOT + 1, subw, LANES), vplanes[p].dtype))
     for _ in range(nw):
-        scratch.append(pltpu.VMEM((NSLOT, subw, LANES), jnp.int32))
+        scratch.append(pltpu.VMEM((NSLOT + 1, subw, LANES), jnp.int32))
     for _ in range(nw):
         scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
     scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
@@ -295,13 +365,15 @@ def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = 
         pltpu.SemaphoreType.DMA((2, max(nw, 1))),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((NSLOT, nv + nw)),
+        pltpu.SemaphoreType.DMA((2, nv + nw)),
     ]
+    # subw rows of overrun room for the tail-zero epilogue's last chunk
+    out_rows = (n + win) // LANES + subw
     out_shapes = [
-        jax.ShapeDtypeStruct(((n + win) // LANES, LANES), vplanes[p].dtype)
+        jax.ShapeDtypeStruct((out_rows, LANES), vplanes[p].dtype)
         for p in range(nv)
     ] + [
-        jax.ShapeDtypeStruct(((n + win) // LANES, LANES), jnp.int32)
-        for _ in range(nw)
+        jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32) for _ in range(nw)
     ]
     args = (
         [jnp.full((1,), nb, jnp.int32)]

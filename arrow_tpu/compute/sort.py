@@ -4,15 +4,17 @@ Net-new north-star operator (BASELINE.md: "radix sort: 1B-row u32/i64 key +
 payload, stable multi-pass LSB").  The reference has no sort; its multi-pass
 reduction (SURVEY.md §3.5) is the compositional seed.
 
-Backends (``method=``): "xla" = `jax.lax.sort(..., is_stable=True)`, XLA's
-O(log^2 n) network over the full length; "merge" = the Pallas streaming
-pairwise-merge sort (`kernels/merge.py`): ONE batched 8192-run XLA sort, then
-log2(n/8192) single-HBM-round-trip merge passes — measured ~6x the flat XLA
-sort at 128M rows on v5e; "auto" = merge when eligible on TPU (32-bit
-non-null ascending keys), else xla.  Payload columns of any width ride the
-merge path as 32-bit planes (64-bit columns split into lo/hi limb planes,
-bool/validity bitmaps unpack to word planes) — every plane follows the same
-permutation, so recombination is exact.
+Backends (``method=``): "xla" (the default and the "auto" choice) =
+`jax.lax.sort(..., is_stable=True)`, XLA's fused multi-operand network;
+"merge" = the Pallas streaming pairwise-merge sort (`kernels/merge.py`): ONE
+batched 8192-run XLA sort then log2(n/8192) merge passes.  Measured on v5e at
+134M rows the merge path is ~2.4x SLOWER than the flat lax.sort (91.6 ms per
+pass, DMA-latency-bound — diagnosis in docs/sort_design_notes.md), so it is
+explicit-opt-in only; it remains useful where its runtime run-length is (a
+merge of pre-sorted runs costs one pass, not a re-sort).  Payload columns of
+any width ride the merge path as 32-bit planes (64-bit columns split into
+lo/hi limb planes, bool/validity bitmaps unpack to word planes) — every plane
+follows the same permutation, so recombination is exact.
 
 Null ordering: valid rows first (stable), null rows last — implemented by
 sorting on a (is_null, key) compound, with only the row payload permuted.
@@ -82,8 +84,11 @@ def _payload_colspec(col) -> Tuple[str, bool, str]:
 
 
 def _merge_eligible(keys, descending: bool, force: bool = False) -> bool:
-    """force=True (method="merge") or ARROW_TPU_FORCE_MERGE=1 skips the
-    backend gate so CPU tests can drive the kernel in interpret mode."""
+    """Merge runs only when EXPLICITLY requested (method="merge" or
+    ARROW_TPU_FORCE_MERGE=1): measured on v5e at 128M rows the streaming
+    merge kernel is ~2.4x slower than XLA's flat sort (91.6 ms/pass x 14
+    passes, DMA-latency-bound at ~2.8 us/step — see docs/sort_design_notes),
+    so "auto" stays on lax.sort."""
     import os
 
     if descending or keys.validity is not None:
@@ -92,11 +97,7 @@ def _merge_eligible(keys, descending: bool, force: bool = False) -> bool:
         return False
     if keys.data.shape[0] % 8192 != 0:
         return False
-    return (
-        force
-        or jax.default_backend() == "tpu"
-        or os.environ.get("ARROW_TPU_FORCE_MERGE") == "1"
-    )
+    return force or os.environ.get("ARROW_TPU_FORCE_MERGE") == "1"
 
 
 @functools.lru_cache(maxsize=None)

@@ -143,8 +143,10 @@ def compact_rows(flags: jnp.ndarray, operands: Sequence[jnp.ndarray]):
     runs the block-compaction kernel (`compute.kernels.compaction3`) — one
     streaming HBM pass instead of a full stable sort.  32-bit planes ride
     natively; 64-bit planes ride as interleaved u32 limbs on a bit-doubled
-    mask (the stable network keeps limb pairs adjacent).  Rows past the
-    selected count are unspecified — callers apply their own live mask.
+    mask (the stable network keeps limb pairs adjacent).  The Pallas kernel
+    zeroes rows >= count in-kernel; the sort fallback leaves the unselected
+    rows at the back — callers needing the zero invariant mask for
+    themselves (groupby_core does).
     """
     import jax
 
@@ -204,17 +206,15 @@ def merge_lex_sort(limbs: Sequence[jnp.ndarray], payloads: Sequence[jnp.ndarray]
 
 
 def merge_sort_ok(*key_arrays) -> bool:
-    """Whether `merge_lex_sort` can run here: TPU backend, Pallas-eligible
-    lengths, 32-bit-decomposable integer keys.  ARROW_TPU_FORCE_MERGE=1
-    overrides the backend gate so CPU tests can drive the interpret path."""
+    """Whether `merge_lex_sort` should run: opt-in via ARROW_TPU_FORCE_MERGE=1
+    only (measured slower than fused multi-operand lax.sort at 128M on v5e —
+    see compute/sort.py::_merge_eligible), plus Pallas-eligible lengths and
+    32-bit-decomposable integer keys."""
     import os
 
-    import jax
+    import jax  # noqa: F401  (kept for future backend-conditional gating)
 
-    if (
-        jax.default_backend() != "tpu"
-        and os.environ.get("ARROW_TPU_FORCE_MERGE") != "1"
-    ):
+    if os.environ.get("ARROW_TPU_FORCE_MERGE") != "1":
         return False
     for k in key_arrays:
         if k.shape[0] % 8192 != 0 or k.shape[0] == 0:

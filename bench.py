@@ -216,15 +216,11 @@ def main():
     keys = gen_u32(jax.random.key(2), n_op, 1 << 31)  # noqa: E501  (data/mwords stay for the sweep below)
     payload = gen_u32(jax.random.key(3), n_op, 1 << 31)
 
-    # the Pallas streaming merge sort (the library's sort(method="merge")
-    # path, kernels/merge.py); CPU smoke falls back to lax.sort
-    use_merge_sort = jax.default_backend() == "tpu" and n_op % 8192 == 0
-    from arrow_tpu.compute.kernels.merge import sort_kv_pallas
-
+    # stable fused key+payload lax.sort — measured FASTER than the Pallas
+    # streaming merge sort at this scale (586 ms vs 1282 ms at 134M on v5e;
+    # merge stays available via sort(method="merge"), see
+    # docs/sort_design_notes.md for the diagnosis)
     def sort_step(k, p):
-        if use_merge_sort:
-            ok, (op,) = sort_kv_pallas(k, (p,))
-            return ok, op
         out = lax.sort([k, p], num_keys=1, is_stable=True)
         return out[0], out[1]
 
@@ -254,7 +250,7 @@ def main():
             n_op,
             n_op,
             False,
-            jax.default_backend() == "tpu" and n_op % 8192 == 0,
+            False,  # lax.sort grouping (merge kernel measured slower at 128M)
             (("sum", "int32", False), ("count_all", "", False)),
         )
     )
