@@ -56,7 +56,7 @@ def _valid_bools(data, validity, length):
 
 
 def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
-                 merge_len=None):
+                 merge_len=None, dense=False):
     """Shared sort+segmented-scan group-by core (traceable).
 
     key_data: (n,) keys; kvalid: (n,) bool valid-key mask;
@@ -68,6 +68,11 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
     < merge_len is valid — the sort runs on the Pallas streaming merge kernel
     (kernels/merge.py) with values + validity riding as 32-bit planes,
     instead of the O(log^2 n) full-length `lax.sort`.
+
+    dense (static bool): every row of every buffer is valid (no key/value
+    nulls, no padding) — the sort drops the rank key and the per-value
+    validity operands (both constant), cutting the dominant multi-operand
+    sort cost by ~half for the common no-null full-buffer case.
     """
     from ..utils.scans import compact_rows, segment_ends, segmented_scan
 
@@ -92,6 +97,16 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
             sorted_.append(sv.astype(edt) if edt is not None else sv)
             sorted_.append(sf != 0)
         in_group = idx32 < jnp.int32(merge_len)
+    elif dense:
+        operands = [key_data] + [vdata for vdata, _ in val_entries]
+        raw = lax.sort(operands, num_keys=1, is_stable=True)
+        skey = raw[0]
+        true_plane = jnp.ones((n,), jnp.bool_)
+        sorted_ = [None, skey]
+        for sv in raw[1:]:
+            sorted_.append(sv)
+            sorted_.append(true_plane)
+        in_group = true_plane
     else:
         rank = jnp.where(kvalid, 0, 1).astype(jnp.int32)
         operands = [rank, key_data]
@@ -191,9 +206,15 @@ def _groupby_program(spec: tuple):
             vvalidity = val_bufs[vi + 1] if val_has_validity else None
             vi += 2 if val_has_validity else 1
             val_entries.append((vdata, _valid_bools(vdata, vvalidity, length)))
+        dense = (
+            not key_has_validity
+            and length == n_padded
+            and all(not hv for _a, _d, hv in agg_spec)
+        )
         num_groups, out_keys, out_aggs = groupby_core(
             key_data, kvalid, val_entries, agg_spec,
             merge_len=length if use_merge else None,
+            dense=dense,
         )
         return (num_groups, out_keys, *out_aggs)
 

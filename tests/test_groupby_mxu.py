@@ -116,3 +116,24 @@ def test_mxu_key_domain_hint_skips_range_check():
     np.testing.assert_array_equal(
         np.asarray(out["s"].raw_values(), dtype=np.int64), exp[np.unique(kn)]
     )
+
+
+def test_sort_path_dense_no_padding():
+    """Dense fast path (length == padded capacity, no nulls): the sort drops
+    rank/validity operands; results must match the general path exactly."""
+    rng = np.random.default_rng(9)
+    n = 8192  # == pad_len(n)
+    keys_np = rng.integers(0, 300, n).astype(np.uint32)
+    vals_np = rng.integers(-50, 50, n).astype(np.int32)
+    out = hash_aggregate(
+        at.UInt32Array.from_slice(keys_np),
+        [("s", at.Int32Array.from_slice(vals_np), "sum"), ("c", None, "count")],
+        method="sort",
+    )
+    uk = np.unique(keys_np)
+    assert out.num_rows == uk.size
+    exp = np.array([vals_np[keys_np == k].sum() for k in uk], np.int64)
+    np.testing.assert_array_equal(np.asarray(out["s"].raw_values(), np.int64), exp)
+    np.testing.assert_array_equal(
+        np.asarray(out["c"].raw_values(), np.int64), np.bincount(keys_np)[uk]
+    )
