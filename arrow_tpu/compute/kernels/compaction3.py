@@ -283,7 +283,7 @@ def _make_kernel(block: int, nv: int, nw: int):
                 z0 + j * jnp.int32(subw), HEADR
             )  # z0 and subw are HEADR-multiples
             return pltpu.make_async_copy(
-                winb[p].at[ZSLOT],
+                winb[p].at[jnp.int32(ZSLOT)],  # i32: python ints lower i64 under x64
                 outs[p].at[pl.ds(row0, subw), :],
                 sem_z.at[par, jnp.int32(p)],
             )

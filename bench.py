@@ -187,14 +187,18 @@ def main():
         jax.random.key(1)
     )
 
-    from arrow_tpu.compute.kernels.compaction3 import compact_multi_pallas
+    # the LIBRARY's filter program (compute/filter.py), not a hand-inlined
+    # kernel call: in-kernel tail zeroing means the public path carries no
+    # masking pass anymore
+    from arrow_tpu.compute.filter import _pallas_filter_program
 
     use_pallas_filter = jax.default_backend() == "tpu" and n_op % 8192 == 0
+    fprog = _pallas_filter_program((("w32", False),)) if use_pallas_filter else None
 
     def filter_step(y, mw):
         if use_pallas_filter:
-            (o,), _, c = compact_multi_pallas((y,), (), mw)
-            return o[:n_op], mw
+            _count, res = fprog(mw, None, y, None)
+            return res[0], mw
         bools = B.unpack_bits(mw)
         count = jnp.sum(bools, dtype=jnp.uint32)
         (part,) = stable_partition(bools, [y])
