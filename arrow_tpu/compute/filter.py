@@ -205,8 +205,9 @@ def _filter_pallas(cols, mask):
     """Pallas block-compaction path (any mix of 32/64-bit/bool, nullable).
 
     Streams data once through VMEM (log-shift hole-filling network, pipelined
-    DMA) and writes compacted blocks at dynamic offsets — measured 16.5 Grows/s
-    per 32-bit plane on v5e vs ~0.6 for the stable-partition sort program.
+    DMA) and writes compacted blocks at dynamic offsets, zeroing the tail
+    in-kernel — measured 12.25 Grows/s through this program at 134M rows on
+    v5e (BENCH_r03) vs ~0.6 for the stable-partition sort program.
     """
     signature = tuple((_col_kind(c), c.validity is not None) for c in cols)
     flat = []
@@ -288,8 +289,8 @@ def filter(
     """Compact rows where mask is true (and valid).
 
     method: "pallas" = the hand-written block-compaction kernel (pipelined
-    DMA, in-kernel mask unpack; any mix of 32/64-bit/bool columns, nullable;
-    measured 16.5 Grows/s per 32-bit plane on v5e); "sort" = the stable-
+    DMA, in-kernel mask unpack + tail zeroing; any mix of 32/64-bit/bool
+    columns, nullable; measured 12.25 Grows/s at 134M on v5e); "sort" = the stable-
     partition XLA program; "auto" = pallas when eligible on TPU, else sort.
     For a RecordBatch, every column shares one kernel call (one mask unpack +
     rank + network control stream) — no per-column gathers.
