@@ -117,21 +117,23 @@ def _make_kernel(block: int, nlimb: int):
                 v8 = vbuf[m, pl.ds(r0, GROUP_ROWS), :]
                 hi8 = (k8 >> 7) & jnp.int32(NHI - 1)
 
-                # Ehi (32 hi, 1024 elem): fused compare->bf16 per source row
-                ehi = jnp.concatenate(
-                    [
-                        (
-                            iota_sub32
-                            == jnp.broadcast_to(hi8[c : c + 1, :], (NHI, LANES))
-                        ).astype(jnp.bfloat16)
-                        for c in range(GROUP_ROWS)
-                    ],
-                    axis=1,
-                )
+                # Ehi (32 hi, 1024 elem): fused compare->bf16 per source row.
+                # Limb VALUES fold into ehi (the SMALL operand), not elo: the
+                # per-limb weighted operand is (32, 1024) instead of v2's
+                # (1024, 128) elo_w — 4x less materialized one-hot traffic per
+                # limb (the kernel is VMEM-bandwidth-bound on these operands)
+                # and the value-side transpose disappears.
+                ehi_pieces = [
+                    (
+                        iota_sub32
+                        == jnp.broadcast_to(hi8[c : c + 1, :], (NHI, LANES))
+                    ).astype(jnp.bfloat16)
+                    for c in range(GROUP_ROWS)
+                ]
+                ehi = jnp.concatenate(ehi_pieces, axis=1)
                 # ONE transpose per tile puts elements on sublanes; Elo pieces
                 # are (128, 1)->lane broadcasts of its columns
                 kT8 = k8.T  # (128, GROUP_ROWS)
-                vT8 = v8.T
                 loT = kT8 & jnp.int32(NLO - 1)
                 zero = jnp.zeros((LANES, NLO), jnp.float32)
                 one = jnp.ones((LANES, NLO), jnp.float32)
@@ -158,24 +160,23 @@ def _make_kernel(block: int, nlimb: int):
                 ).astype(jnp.int32)
                 new_sums = []
                 for b in range(nlimb):
-                    limbT = (
-                        (vT8 >> (LIMB_BITS * b)) & jnp.int32((1 << LIMB_BITS) - 1)
+                    limb8 = (
+                        (v8 >> (LIMB_BITS * b)) & jnp.int32((1 << LIMB_BITS) - 1)
                     ).astype(jnp.float32)
-                    elo_w = jnp.concatenate(
+                    ehi_w = jnp.concatenate(
                         [
-                            jnp.where(
-                                conds[c],
-                                jnp.broadcast_to(limbT[:, c : c + 1], (LANES, NLO)),
-                                zero,
-                            )
+                            ehi_pieces[c]
+                            * jnp.broadcast_to(
+                                limb8[c : c + 1, :], (NHI, LANES)
+                            ).astype(jnp.bfloat16)
                             for c in range(GROUP_ROWS)
                         ],
-                        axis=0,
-                    ).astype(jnp.bfloat16)
+                        axis=1,
+                    )
                     new_sums.append(
                         sums_p[b]
                         + jax.lax.dot_general(
-                            ehi, elo_w, (((1,), (0,)), ((), ())),
+                            ehi_w, elo, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ).astype(jnp.int32)
                     )
