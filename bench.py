@@ -298,7 +298,37 @@ def main():
     else:
         # CPU smoke runs can't exercise the MXU kernel; don't penalize them
         _FRACS.pop("hash_agg_u32_1k_keys", None)
-    del gkeys, gvals, dkeys, dvals
+
+    # BASELINE distribution sweep ("1K-100M distinct keys incl. skew"): the
+    # same compiled group-by program, different key distributions — skew only
+    # changes segment lengths, not the executable
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def gen_zipfish(key, n, dom):
+        # heavy-hitter power-law: u^4 concentrates ~50% of rows on ~6% of keys
+        u = jax.random.uniform(key, (n,), dtype=jnp.float32)
+        return (u * u * u * u * dom).astype(jnp.uint32)
+
+    zkeys = gen_zipfish(jax.random.key(12), n_op, 1 << 20)
+    safe(
+        "hash_agg_u32_skew",
+        lambda: record(
+            "hash_agg_u32_skew",
+            n_op,
+            device_seconds_per_iter(agg_step, (zkeys, gvals)),
+            n_op * 16,
+        ),
+    )
+    wkeys = gen_u32(jax.random.key(13), n_op, 1 << 31)  # ~100M distinct
+    safe(
+        "hash_agg_u32_100m_keys",
+        lambda: record(
+            "hash_agg_u32_100m_keys",
+            n_op,
+            device_seconds_per_iter(agg_step, (wkeys, gvals)),
+            n_op * 16,
+        ),
+    )
+    del gkeys, gvals, dkeys, dvals, zkeys, wkeys
 
     # ---- operator 4: hash join (u64 keys, count phase) --------------------
     # u64 keys ride as 32-bit limb pairs (compute/join.py::probe_bounds):
@@ -327,7 +357,23 @@ def main():
         ),
     )
 
-    del pk, bk
+    # BASELINE "skewed keys" config: heavy-hitter probe side, same executable
+    pk_skew = jax.jit(
+        lambda k: (
+            jax.random.uniform(k, (nj,), dtype=jnp.float32) ** 4 * nj
+        ).astype(jnp.uint64)
+    )(jax.random.key(14))
+    safe(
+        "hash_join_u64_skew",
+        lambda: record(
+            "hash_join_u64_skew",
+            2 * nj,
+            device_seconds_per_iter(join_step, (pk_skew, bk)),
+            2 * nj * 16,
+        ),
+    )
+
+    del pk, bk, pk_skew
 
     # ---- reference-harness mirrors (elementwise tier) ---------------------
     # elementwise iterations are ~0.2ms at 10M rows; hundreds of chained
