@@ -29,10 +29,15 @@ _jax.config.update("jax_enable_x64", True)
 _cache_dir = _os.environ.get(
     "ARROW_TPU_COMPILE_CACHE", _os.path.expanduser("~/.jax_cache")
 )
-# virtual-CPU-mesh processes (tests, multichip dryrun) skip the cache:
-# XLA:CPU AOT entries record compile-machine features and can SIGILL when
-# replayed across feature mismatches; only the TPU compiles are worth caching
-if "xla_force_host_platform_device_count" in _os.environ.get("XLA_FLAGS", ""):
+# CPU-restricted processes (tests, multichip dryrun, CPU bench smoke) skip
+# the cache: XLA:CPU AOT entries record compile-machine features and can
+# SIGILL when replayed across feature mismatches; only the (expensive) TPU
+# compiles are worth caching
+_platforms = getattr(_jax.config, "jax_platforms", None)
+if (
+    "xla_force_host_platform_device_count" in _os.environ.get("XLA_FLAGS", "")
+    or (_platforms and "tpu" not in _platforms and "axon" not in _platforms)
+):
     _cache_dir = None
 if _cache_dir and _cache_dir != "0":
     try:

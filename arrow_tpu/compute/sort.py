@@ -215,8 +215,12 @@ def sort(
 ) -> ArrowArrayBase:
     """Stable sort of one column, nulls last.
 
-    method: "merge" = the Pallas streaming merge sort (32-bit non-null
-    ascending keys); "xla" = `lax.sort`; "auto" = merge when eligible on TPU.
+    method: "xla" (default, and what "auto" resolves to) = `lax.sort`;
+    "merge" = the Pallas streaming merge sort (32-bit non-null ascending
+    keys; explicit opt-in — measured slower than lax.sort at 128M, see
+    docs/sort_design_notes.md).  ARROW_TPU_FORCE_MERGE=1 also opts "auto"
+    in (test/benchmark knob; applies even on CPU, where the kernel runs
+    interpreted and slowly).
     """
     if a.dtype not in _SORTABLE:
         raise OperationNotSupported(f"sort not supported for {a.dtype.value}")

@@ -692,22 +692,7 @@ def distributed_join(
 # ---------------------------------------------------------------------------
 
 
-def _u32_planes(arr):
-    """Encode a column as u32 planes for the fused exchange tensor."""
-    if jnp.dtype(arr.dtype).itemsize == 8:
-        w = lax.bitcast_convert_type(arr, jnp.uint32)
-        return [w[:, 0], w[:, 1]]
-    if arr.dtype == jnp.uint32:
-        return [arr]
-    return [lax.bitcast_convert_type(arr, jnp.uint32)]
-
-
-def _u32_decode(words, dtype):
-    """Inverse of `_u32_planes` given the per-slot gathered word planes."""
-    dtype = jnp.dtype(dtype)
-    if dtype.itemsize == 8:
-        return lax.bitcast_convert_type(jnp.stack(words, axis=-1), dtype)
-    return words[0] if dtype == jnp.uint32 else lax.bitcast_convert_type(words[0], dtype)
+from .shuffle import u32_decode as _u32_decode, u32_planes as _u32_planes  # noqa: E402
 
 
 @functools.lru_cache(maxsize=None)
@@ -798,16 +783,20 @@ def distributed_sort(
     key: str,
     out_capacity: Optional[int] = None,
     n_samples: int = 256,
-    skew_factor: int = 4,
+    skew_factor: Optional[int] = None,
     check: bool = True,
 ) -> ShardedBatch:
     """Globally sort by `key`: sampled splitters -> range-partition all-to-all
     -> local sort.  Shard s holds globally-ordered range s.  Null keys are
     unsupported (sort semantics of the bench configs: dense key+payload).
 
-    skew_factor bounds the per-destination send bucket at skew_factor x the
-    balanced share (cap / num_shards); a key distribution the sampled
-    splitters mis-balance by more than that raises (raise skew_factor)."""
+    skew_factor (opt-in) bounds the per-destination send bucket at
+    skew_factor x the balanced share (cap / num_shards), shrinking the send
+    tensor for well-distributed keys; a distribution the sampled splitters
+    mis-balance past the bound raises (or, with check=False, truncates).
+    The default bucket is `cap` — send overflow is then impossible for ANY
+    key distribution (cnt <= cap), at the cost of a p x cap send tensor
+    (still half the old p x out_cap)."""
     rt = sb.runtime
     kcol = sb.columns[key]
     if kcol.validity is not None or kcol.dtype is dt.ArrowType.BOOL:
@@ -818,7 +807,11 @@ def distributed_sort(
         if col.validity is not None or col.dtype is dt.ArrowType.BOOL:
             raise OperationNotSupported("distributed_sort payload must be non-null primitive")
     out_cap = out_capacity or 2 * sb.capacity
-    bucket = min(out_cap, skew_factor * -(-sb.capacity // rt.num_shards))
+    if skew_factor is None:
+        bucket = min(out_cap, sb.capacity)
+    else:
+        bucket = min(out_cap, sb.capacity,
+                     skew_factor * -(-sb.capacity // rt.num_shards))
     prog = _dist_sort_program(
         _mesh_for(rt), rt.axis, rt.num_shards, sb.capacity, out_cap, bucket,
         n_samples,

@@ -66,6 +66,37 @@ def hash_key(data: jnp.ndarray) -> jnp.ndarray:
     return fmix32(data.astype(jnp.uint32))
 
 
+def u32_planes(arr):
+    """Encode one column as u32 planes for a fused exchange tensor.
+
+    64-bit dtypes split into lo/hi limbs; sub-32-bit dtypes widen via astype
+    (mod-2^32 wrap, exactly inverted by the narrowing astype in
+    `u32_decode` — bitcast requires matching widths and would raise); 32-bit
+    dtypes bitcast.  Shared by the shuffle and dist-sort exchanges.
+    """
+    dt_ = jnp.dtype(arr.dtype)
+    if dt_.itemsize == 8:
+        w = lax.bitcast_convert_type(arr, jnp.uint32)
+        return [w[..., 0], w[..., 1]]
+    if dt_.itemsize < 4:
+        return [arr.astype(jnp.uint32)]
+    if dt_ == jnp.uint32:
+        return [arr]
+    return [lax.bitcast_convert_type(arr, jnp.uint32)]
+
+
+def u32_decode(words, dtype):
+    """Inverse of `u32_planes` given the gathered word planes."""
+    dt_ = jnp.dtype(dtype)
+    if dt_.itemsize == 8:
+        return lax.bitcast_convert_type(jnp.stack(words, axis=-1), dt_)
+    if dt_.itemsize < 4:
+        return words[0].astype(dt_)
+    if dt_ == jnp.uint32:
+        return words[0]
+    return lax.bitcast_convert_type(words[0], dt_)
+
+
 def _col_to_bools(col_data, is_bool):
     return B.unpack_bits(col_data) if is_bool else col_data
 
@@ -117,17 +148,9 @@ def shuffle_shard_local(axis, p, cap, bucket, out_cap, c, key_data, payloads):
     # as lo/hi limb pairs) — one collective per exchange, not one per column
     planes, slices = [], []
     for vals, is_bool in payloads:
-        if is_bool:
-            # receiver masks with live_out; slots past a bucket's count are
-            # never read (j_of < rcnt), so no send-side slot_live mask needed
-            ps = [vals.astype(jnp.uint32)]
-        elif jnp.dtype(vals.dtype).itemsize == 8:
-            w = lax.bitcast_convert_type(vals, jnp.uint32)
-            ps = [w[..., 0], w[..., 1]]
-        elif vals.dtype == jnp.uint32:
-            ps = [vals]
-        else:
-            ps = [lax.bitcast_convert_type(vals, jnp.uint32)]
+        # bools: receiver masks with live_out; slots past a bucket's count
+        # are never read (j_of < rcnt), so no send-side slot_live mask needed
+        ps = [vals.astype(jnp.uint32)] if is_bool else u32_planes(vals)
         slices.append((len(planes), len(planes) + len(ps)))
         planes.extend(ps)
     send = jnp.stack([pl[src_rows] for pl in planes], axis=-1)
@@ -139,12 +162,7 @@ def shuffle_shard_local(axis, p, cap, bucket, out_cap, c, key_data, payloads):
         if is_bool:
             outs.append((words[0] != 0) & live_out)
             continue
-        if jnp.dtype(vals.dtype).itemsize == 8:
-            out_vals = lax.bitcast_convert_type(jnp.stack(words, axis=-1), vals.dtype)
-        elif vals.dtype == jnp.uint32:
-            out_vals = words[0]
-        else:
-            out_vals = lax.bitcast_convert_type(words[0], vals.dtype)
+        out_vals = u32_decode(words, vals.dtype)
         outs.append(jnp.where(live_out, out_vals, jnp.zeros_like(out_vals)))
 
     new_count = jnp.minimum(total, out_cap).astype(jnp.int32)

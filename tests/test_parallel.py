@@ -258,3 +258,44 @@ def test_distributed_join_fused_matches_unfused(rt):
     rows_f = sorted(zip(f["k"].values(), f["lv"].values(), f["rv"].values()))
     rows_u = sorted(zip(u["k"].values(), u["lv"].values(), u["rv"].values()))
     assert rows_f == rows_u and len(rows_f) > 0
+
+
+def test_shuffle_and_sort_sub32bit_columns(rt):
+    """Code-review r3: the fused u32-plane exchange must carry sub-32-bit
+    columns (astype widening, not bitcast — bitcast raises on width change)."""
+    rng = np.random.default_rng(12)
+    n = 4000
+    keys = rng.integers(0, 100, n).astype(np.uint32)
+    small = rng.integers(-128, 127, n).astype(np.int16)
+    tiny = rng.integers(0, 255, n).astype(np.uint8)
+    rb = RecordBatch(
+        {
+            "k": at.UInt32Array.from_slice(keys),
+            "s": at.Int16Array.from_slice(small),
+            "t": at.UInt8Array.from_slice(tiny),
+        }
+    )
+    sb = PP.shard_batch(rb, rt)
+    shuffled = PP.hash_partition(sb, "k")
+    back = PP.gather_batch(shuffled)
+    got = sorted(zip(back["k"].raw_values(), back["s"].raw_values(), back["t"].raw_values()))
+    exp = sorted(zip(keys.tolist(), small.tolist(), tiny.tolist()))
+    assert got == exp
+
+    out = PP.distributed_sort(sb, "k")
+    kb = np.asarray(PP.gather_batch(out)["k"].raw_values())
+    np.testing.assert_array_equal(kb, np.sort(keys))
+
+
+def test_distributed_sort_all_equal_keys(rt):
+    """Code-review r3: the default send bucket must hold ANY distribution
+    (all rows routed to one destination must not overflow or truncate)."""
+    n = 4096
+    keys = np.full(n, 7, np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    rb = RecordBatch.from_numpy({"k": keys, "v": vals})
+    sb = PP.shard_batch(rb, rt)
+    out = PP.distributed_sort(sb, "k")
+    assert out.num_rows() == n
+    back = PP.gather_batch(out)
+    np.testing.assert_array_equal(np.asarray(back["k"].raw_values()), keys)
