@@ -433,11 +433,17 @@ def p_prefetch():
 
 ALL = [v for name, v in sorted(globals().items()) if name.startswith("p_")]
 
+# the capability probes that caused (or guard against) real shipped bugs
+QUICK = ("roll", "i64", "grid", "i8", "trunc")
+
 if __name__ == "__main__":
     print(f"jax {jax.__version__}, devices: {jax.devices()}", flush=True)
-    only = sys.argv[1] if len(sys.argv) > 1 else None
+    arg = sys.argv[1] if len(sys.argv) > 1 else None
     for fn in ALL:
-        if only and only not in fn.__name__:
+        if arg == "--quick":
+            if not any(q in fn.__name__ for q in QUICK):
+                continue
+        elif arg and arg not in fn.__name__:
             continue
         fn()
     print("\n=== MATRIX ===")
