@@ -19,6 +19,13 @@ Everything fuses into a single XLA program — route + exchange + compaction; th
 collective overlaps with the gather/compaction compute where XLA's scheduler
 allows.  Rows whose bucket overflows are dropped and counted; callers pass a
 larger ``bucket_rows`` (skew slack) or check ``overflow``.
+
+Why not `lax.ragged_all_to_all` (which would drop the bucket padding
+entirely): probed round 3 — XLA:CPU raises "HLO opcode `ragged-all-to-all`
+is not supported by ThunkEmitter", so the ragged path could never run in the
+virtual-device tests, CI, or the multichip dryrun, and this environment has
+no multi-chip TPU to validate it on.  The padded-bucket exchange is the
+testable formulation; swap-in point is the single `lax.all_to_all` below.
 """
 
 from __future__ import annotations
