@@ -69,8 +69,14 @@ def _emit_final():
         m for m, v in _FRACS.items() if v > 1e-9
     )
     _DETAILS["metrics_failed"] = sorted(m for m, v in _FRACS.items() if v <= 1e-9)
+    # CPU smoke runs must not clobber the hardware record
+    out_name = (
+        "BENCH_DETAILS_CPU.json"
+        if os.environ.get("ARROW_TPU_BENCH_CPU") == "1"
+        else "BENCH_DETAILS.json"
+    )
     try:
-        with open("BENCH_DETAILS.json", "w") as f:
+        with open(out_name, "w") as f:
             json.dump(_DETAILS, f, indent=2)
     except Exception:
         pass
