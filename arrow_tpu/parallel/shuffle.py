@@ -25,7 +25,10 @@ entirely): probed round 3 — XLA:CPU raises "HLO opcode `ragged-all-to-all`
 is not supported by ThunkEmitter", so the ragged path could never run in the
 virtual-device tests, CI, or the multichip dryrun, and this environment has
 no multi-chip TPU to validate it on.  The padded-bucket exchange is the
-testable formulation; swap-in point is the single `lax.all_to_all` below.
+testable formulation.  A future ragged conversion must replace the PAYLOAD
+exchange (the (p, bucket, nplanes) `lax.all_to_all` in
+`shuffle_shard_local`) AND restructure the preceding counts exchange that
+sizes the receive side — both collectives, not one.
 """
 
 from __future__ import annotations

@@ -20,6 +20,12 @@ go to BENCH_DETAILS.json + stderr.
 ≙ the reference harness `crates/benchmarks/benches/{compare_gpu_arrow,
 compare_sum}.rs` (f32 add_scalar at 10,485,760 rows; u32 sum, bytes/s) — both
 mirrored here as `add_scalar_f32` and `sum_u32`.
+
+Measurement caveat: the 10M-row mirrors are dispatch-granularity-bound
+(~0.2 ms/iter against ~ms-scale queue jitter through the tunnel) and vary
+2-3x run to run (observed 192-504 GB/s for sum_u32_10m across round-3 runs
+while the 128M point held 442-484 GB/s).  Read the *_128m metrics for kernel
+throughput; the 10M points exist for reference-harness parity.
 """
 
 import json

@@ -433,8 +433,11 @@ def p_prefetch():
 
 ALL = [v for name, v in sorted(globals().items()) if name.startswith("p_")]
 
-# the capability probes that caused (or guard against) real shipped bugs
-QUICK = ("roll", "i64", "grid", "i8", "trunc")
+# the capability probes that caused (or guard against) real shipped bugs.
+# Substrings match @probe LABELS (the decorator sets fn.__name__ to the
+# label): roll (the r2 fleet crash class), gridded pallas_call, weak-int
+# loop carries, take_along_axis lowering, int8 compares/matmuls.
+QUICK = ("roll", "grid", "smem_scratch", "gather_lanes_taa_8", "int8")
 
 if __name__ == "__main__":
     print(f"jax {jax.__version__}, devices: {jax.devices()}", flush=True)
