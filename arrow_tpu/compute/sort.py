@@ -226,7 +226,8 @@ def sort(
         raise OperationNotSupported(f"sort not supported for {a.dtype.value}")
     if method == "merge" and not _merge_eligible(a, descending, force=True):
         raise OperationNotSupported(
-            "merge sort requires a 32-bit non-null ascending key"
+            "merge sort requires a 32-bit non-null ascending key whose padded "
+            "buffer length is a multiple of 8192"
         )
     if method in ("auto", "merge") and _merge_eligible(
         a, descending, force=method == "merge"
@@ -277,8 +278,9 @@ def sort_by_key(
             return ok, outs[0]
     if method == "merge":
         raise OperationNotSupported(
-            "merge sort requires a 32-bit non-null ascending key on TPU "
-            "and equal-length payload columns"
+            "merge sort requires a 32-bit non-null ascending key whose padded "
+            "buffer length is a multiple of 8192, and equal-length payload "
+            "columns"
         )
     simple_cols: dict = {}
     if isinstance(payload, ArrowArrayBase):

@@ -177,6 +177,12 @@ class DataType:
     def byte_width(self) -> int:
         return item_size(self.arrow)
 
+    @property
+    def num_fields(self) -> int:
+        """Child-field count: 0 for every primitive type (≙ reference
+        `crates/python_wgarrow/src/datatype.rs:40-53`)."""
+        return 0
+
     def __repr__(self) -> str:
         return f"DataType({self.arrow.value})"
 

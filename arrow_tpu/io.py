@@ -23,18 +23,36 @@ from .utils import bits as B
 def to_arrow_buffers(arr) -> Dict[str, np.ndarray]:
     """Export an array as Arrow-layout host buffers.
 
-    Returns {"data": values, "validity": bitmap bytes or None, "length": n}.
+    Returns {"data": values, "validity": bitmap bytes or None, "length": n,
+    "null_count": Arrow field metadata (0 without a bitmap)}.
     For BOOL, data is the packed bitmap bytes (Arrow boolean layout).
     """
+    from .runtime.native import popcount_native
+
     n = arr.length
     if arr.dtype is dt.ArrowType.BOOL:
         data = np.asarray(arr.data).view(np.uint8)[: (n + 7) // 8].copy()
     else:
         data = arr.raw_values().copy()
     validity = None
+    null_count = 0
     if arr.validity is not None:
-        validity = np.asarray(arr.validity).view(np.uint8)[: (n + 7) // 8].copy()
-    return {"data": data, "validity": validity, "length": n}
+        words = np.asarray(arr.validity)
+        validity = words.view(np.uint8)[: (n + 7) // 8].copy()
+        # padding bits of the validity words are zero by library invariant,
+        # so the word popcount counts exactly the valid rows
+        set_bits = popcount_native(words)
+        if set_bits is None:  # no native library: numpy fallback
+            set_bits = int(np.bitwise_count(words).sum()) if hasattr(np, "bitwise_count") else int(
+                np.unpackbits(words.view(np.uint8)).sum()
+            )
+        null_count = n - set_bits
+    return {
+        "data": data,
+        "validity": validity,
+        "length": n,
+        "null_count": null_count,
+    }
 
 
 def from_arrow_buffers(

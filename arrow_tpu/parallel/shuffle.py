@@ -234,7 +234,10 @@ def hash_partition(
     """Redistribute rows so equal keys land on the same shard.
 
     bucket_rows: per-(src,dst) exchange bucket (default cap/P * 4 skew slack,
-    min 1 tile).  out_capacity: post-shuffle per-shard capacity (default cap).
+    min 1 tile; a distribution skewed past that bound triggers ONE automatic
+    retry at the always-safe bucket = cap, and a remaining overflow is
+    receive-side — raise out_capacity).  out_capacity: post-shuffle per-shard
+    capacity (default 2*cap).
     """
     rt = sb.runtime
     p = rt.num_shards
@@ -245,6 +248,7 @@ def hash_partition(
         raise ArrowTpuError("bool partition keys unsupported")
     from ..array.array import pad_len
 
+    auto_retry = bucket_rows is None
     bucket = bucket_rows or max(1024, -(-cap // p) * 4)
     bucket = min(bucket, cap)
     # default output capacity carries 2x skew slack over balanced placement
@@ -264,13 +268,27 @@ def hash_partition(
 
     mesh_key = id(rt.mesh)
     _MESHES[mesh_key] = rt.mesh
-    prog = _shuffle_program(mesh_key, rt.axis, p, cap, bucket, out_cap, tuple(col_spec))
-    outs = prog(*bufs)
+
+    def run(bucket):
+        prog = _shuffle_program(
+            mesh_key, rt.axis, p, cap, bucket, out_cap, tuple(col_spec)
+        )
+        return prog(*bufs)
+
+    outs = run(bucket)
     new_counts, overflow = outs[0], outs[1]
+    if bool(jnp.any(overflow)) and auto_retry and bucket < cap:
+        # skewed past the 4x-balanced bound: retry once at the always-safe
+        # full-capacity bucket (send overflow impossible: cnt <= cap)
+        outs = run(cap)
+        new_counts, overflow = outs[0], outs[1]
     if check and bool(jnp.any(overflow)):
         raise ArrowTpuError(
-            "shuffle bucket/capacity overflow — raise bucket_rows/out_capacity "
+            "shuffle receive overflow — raise out_capacity "
             f"(bucket={bucket}, out_cap={out_cap})"
+            if auto_retry
+            else "shuffle bucket/capacity overflow — raise bucket_rows/"
+            f"out_capacity (bucket={bucket}, out_cap={out_cap})"
         )
     out_cols: Dict[str, ShardedColumn] = {}
     oi = 2

@@ -49,6 +49,15 @@ def _lib():
                     ctypes.c_size_t,
                     ctypes.c_void_p,
                 ]
+                lib.atpu_popcount.restype = ctypes.c_uint64
+                lib.atpu_popcount.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+                lib.atpu_and_words.restype = None
+                lib.atpu_and_words.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_size_t,
+                    ctypes.c_void_p,
+                ]
                 _LIB = lib
                 log.info("arrow_tpu: loaded C++ host runtime %s", path)
             except OSError as e:  # pragma: no cover
@@ -110,3 +119,35 @@ def unpack_bits_native(words: np.ndarray, n: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out.view(np.bool_)
+
+
+def popcount_native(words: np.ndarray) -> Optional[int]:
+    """Host-side set-bit count over packed u32 words (validity null_count on
+    readback/export paths); None if the native library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    return int(
+        lib.atpu_popcount(words.ctypes.data_as(ctypes.c_void_p), words.shape[0])
+    )
+
+
+def and_words_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """Host-side AND-merge of two packed word buffers (the host analog of the
+    device validity merge, ≙ `null_bit_buffer.rs:168-204`); None if the
+    native library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint32)
+    b = np.ascontiguousarray(b, dtype=np.uint32)
+    assert a.shape == b.shape
+    out = np.empty_like(a)
+    lib.atpu_and_words(
+        a.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p),
+        a.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -219,6 +219,8 @@ def merge_sort_ok(*key_arrays) -> bool:
     for k in key_arrays:
         if k.shape[0] % 8192 != 0 or k.shape[0] == 0:
             return False
-        if k.dtype not in (jnp.int32, jnp.uint32, jnp.int64, jnp.uint64, jnp.float32):
+        # f32 keys would ride merge_lex_sort's integer LSD limb composition
+        # untested (join keys are integer-gated upstream) — not accepted here
+        if k.dtype not in (jnp.int32, jnp.uint32, jnp.int64, jnp.uint64):
             return False
     return True

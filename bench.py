@@ -70,6 +70,9 @@ def _emit_final():
     """Write the headline JSON; failed core metrics count as the 1e-9 floor."""
     fracs = [v for v in _FRACS.values()] or [1e-9]
     headline = float(np.exp(np.mean(np.log(np.maximum(fracs, 1e-9)))))
+    _DETAILS["core_geomean_roofline_frac"] = headline
+    # one-round alias: r3 consumers read the (now misnamed: five metrics)
+    # core4_* key
     _DETAILS["core4_geomean_roofline_frac"] = headline
     _DETAILS["metrics_completed"] = sorted(
         m for m, v in _FRACS.items() if v > 1e-9
@@ -89,7 +92,7 @@ def _emit_final():
     print(
         json.dumps(
             {
-                "metric": "core4_geomean_roofline_frac",
+                "metric": "core_geomean_roofline_frac",
                 "value": round(headline, 4),
                 "unit": "fraction_of_hbm_roofline",
                 "vs_baseline": round(headline / 0.80, 4),

@@ -106,6 +106,9 @@ def test_datatype_parity():
 
     assert dt.int8().bit_width == 8
     assert dt.uint32().byte_width == 4
+    # ≙ datatype.rs:40-53: primitives have zero child fields
+    assert dt.uint32().num_fields == 0
+    assert dt.bool_().num_fields == 0
     assert dt.is_integer_dt(dt.int16())
     assert dt.is_signed_integer(dt.int64())
     assert dt.is_unsigned_integer(dt.uint8())

@@ -106,6 +106,23 @@ def test_native_host_runtime_if_built():
     w = B.pack_bits_np(mask, 32)
     np.testing.assert_array_equal(B.unpack_bits_np(w, 999), mask)
 
+    # popcount / AND-merge bindings (r3 advisor: dead exports — now bound)
+    assert native.popcount_native(w) == int(mask.sum())
+    w2 = B.pack_bits_np(~mask, 32)
+    anded = native.and_words_native(w, w2)
+    assert anded is not None and int(anded.sum()) == 0
+    anded_self = native.and_words_native(w, w)
+    np.testing.assert_array_equal(anded_self, w)
+
+
+def test_io_null_count():
+    from arrow_tpu import io as aio
+
+    arr = at.Int32Array.from_optional_slice([1, None, 3, None, None, 6])
+    ex = aio.to_arrow_buffers(arr)
+    assert ex["null_count"] == 3
+    assert aio.to_arrow_buffers(at.Int32Array.from_slice([1, 2]))["null_count"] == 0
+
 
 def test_io_arrow_buffers_roundtrip(tmp_path):
     from arrow_tpu import io as aio
