@@ -23,12 +23,15 @@ larger ``bucket_rows`` (skew slack) or check ``overflow``.
 Why not `lax.ragged_all_to_all` (which would drop the bucket padding
 entirely): probed round 3 — XLA:CPU raises "HLO opcode `ragged-all-to-all`
 is not supported by ThunkEmitter", so the ragged path could never run in the
-virtual-device tests, CI, or the multichip dryrun, and this environment has
-no multi-chip TPU to validate it on.  The padded-bucket exchange is the
-testable formulation.  A future ragged conversion must replace the PAYLOAD
-exchange (the (p, bucket, nplanes) `lax.all_to_all` in
-`shuffle_shard_local`) AND restructure the preceding counts exchange that
-sizes the receive side — both collectives, not one.
+virtual-device tests, CI, or the multichip dryrun.  Probed round 4 on the
+REAL chip (tools/probe_r4.py): `lax.ragged_all_to_all` under shard_map
+COMPILES AND RUNS on the TPU backend (1-device mesh, correct offsets), so
+the swap-in is available the day real multi-chip exists — but it remains
+untestable here (no multi-chip TPU; CPU backend lacks the opcode), so the
+padded-bucket exchange stays the shipped formulation.  A future ragged
+conversion must replace the PAYLOAD exchange (the (p, bucket, nplanes)
+`lax.all_to_all` in `shuffle_shard_local`) AND restructure the preceding
+counts exchange that sizes the receive side — both collectives, not one.
 """
 
 from __future__ import annotations

@@ -425,14 +425,23 @@ def main():
     )
 
     xu = gen_u32(kg, n_elem, 1000)
-    # chain: per-iter full reduction; re-materialize the array via broadcast add
+
+    # pure reduction: carry (y, acc) so each iteration reads y ONCE and the
+    # array is never re-materialized (the r1-r3 formulation re-broadcast y
+    # every iteration, so the metric measured 3x the algorithmic traffic and
+    # under-reported the kernel by ~2x); the optimization barrier between
+    # iterations keeps the sums non-CSE-able
+    def sum_step(y, acc):
+        return y, acc + jnp.sum(y, dtype=jnp.uint32)
+
+    acc0 = jnp.zeros((), jnp.uint32)
     safe(
         "sum_u32_10m",
         lambda: record(
             "sum_u32_10m",
             n_elem,
-            queue_slope(lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)), xu),
-            n_elem * 8,
+            device_seconds_per_iter(sum_step, (xu, acc0)),
+            n_elem * 4,
         ),
     )
 
@@ -453,13 +462,8 @@ def main():
         lambda: record(
             "sum_u32_128m",
             n_elem_big,
-            queue_slope(
-                lambda y: y + (jnp.sum(y, dtype=jnp.uint32) & jnp.uint32(1)),
-                xu_big,
-                k_lo=4,
-                k_hi=24,
-            ),
-            n_elem_big * 8,
+            device_seconds_per_iter(sum_step, (xu_big, acc0)),
+            n_elem_big * 4,
         ),
     )
     del xf_big, xu_big

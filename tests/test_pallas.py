@@ -10,57 +10,6 @@ import arrow_tpu as at
 from arrow_tpu.utils import bits as B
 
 
-def test_sum_pallas():
-    from arrow_tpu.compute.kernels.reduction import sum_pallas
-
-    n = 16384
-    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
-    got = float(sum_pallas(jnp.asarray(x), interpret=True))
-    assert abs(got - x.sum()) < 0.5
-    xi = np.arange(8192, dtype=np.int32)
-    assert int(sum_pallas(jnp.asarray(xi), interpret=True)) == xi.sum()
-
-
-def test_unary_pallas():
-    from arrow_tpu.compute.kernels.elementwise import unary_op_pallas
-
-    n = 2048
-    x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
-    got = unary_op_pallas(jnp.asarray(x), fn=jnp.abs, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.abs(x), rtol=1e-6)
-
-
-def test_binary_pallas_with_validity():
-    from arrow_tpu.compute.kernels.elementwise import binary_op_pallas
-
-    n = 8192  # >= 4096 so the fused validity path is taken
-    rng = np.random.default_rng(2)
-    a = rng.standard_normal(n).astype(np.float32)
-    b = rng.standard_normal(n).astype(np.float32)
-    va = B.pack_bits_np(rng.random(n) < 0.9)
-    vb = B.pack_bits_np(rng.random(n) < 0.9)
-    out, vout = binary_op_pallas(
-        jnp.asarray(a), jnp.asarray(b), jnp.asarray(va), jnp.asarray(vb),
-        fn=lambda x, y: x + y, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(out), a + b, rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(vout), va & vb)
-
-
-def test_binary_pallas_no_validity():
-    from arrow_tpu.compute.kernels.elementwise import binary_op_pallas
-
-    n = 1024
-    a = np.arange(n, dtype=np.int32)
-    b = np.full(n, 3, np.int32)
-    out, v = binary_op_pallas(
-        jnp.asarray(a), jnp.asarray(b), None, None, fn=lambda x, y: x * y,
-        interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(out), a * b)
-    assert v is None
-
-
 @pytest.mark.parametrize("sel_p", [0.0, 0.01, 0.3, 0.77, 1.0])
 def test_compact_pallas(sel_p):
     from arrow_tpu.compute.kernels.compaction import compact_pallas
