@@ -24,8 +24,27 @@ Evolution of `compaction.compact_pallas` (v2) addressing its measured limits
    as 0/1 int32 planes.  All planes share one mask, one MXU rank computation
    and one displacement-network control stream.
 
-The within-block move is v2's folded log-shift hole-filling network (see
-compaction.py's header for the algorithm and its Mosaic portability notes).
+The within-block move (v4, round 4) is TWO-LEVEL: a single dynamic lane
+gather compacts each 128-lane row (the gather index = a 7-step branchless
+binary search over the row's MXU-computed inclusive rank vector, composed
+with the row's destination lane rotation), and a 9-stage ROW-granular
+hole-filling network (1-op full-row rolls) moves whole rows into place.
+This replaces v3's 16-stage element-granular network whose 7 lane-level
+stages each cost 4-op double-rolls; correctness argument in the v4 section
+below.  Set ARROW_TPU_FILTER_NET=roll to fall back to the v3 network (A/B).
+
+v4 two-level correctness: a selected element at (row r, j-th selected)
+lands at window-flat dest = base[r] + j where base[r] = shift + rowoff[r]
+(the block's data sits at window offset TILE; its compacted run starts at
+offset shift).  Phase 1 places it at (r, dest mod 128) via the composed gather
+(per-row bijective, so no collisions), after which every element's residual
+displacement is a whole-row multiple: drow = (r + HEADR) - (dest >> 7),
+with 0 <= drow (dest <= flat source index + TILE) and drow <= subw-1.
+Within a lane, live elements' dests are strictly increasing across rows
+(dest(r1,*) < base[r1] + cnt[r1] = base[r2] <= dest(r2,*) for r1 < r2) and
+displacements non-decreasing (destrow grows <= 1 per source row) — the
+monotone-routing precondition of the hole-filling network, applied per
+lane at row granularity.
 
 ≙ reference seeds: `/root/reference/crates/routines/src/take.rs:9-55` (gather)
 + packed masks `/root/reference/crates/array/src/array/null_bit_buffer.rs`;
@@ -57,6 +76,13 @@ MAX_BLOCK = 32768
 NSLOT = 3  # window slots: read-ahead i+1 | compute i | drain i-1
 ZSLOT = NSLOT  # extra always-zero window slot feeding the tail-zero epilogue
 
+import os as _os
+
+#: "gather" = v4 two-level move (searchsorted lane gather + row network);
+#: "roll" = v3 16-stage element-granular network (fallback / A-B knob);
+#: "none" = skip the move entirely (WRONG OUTPUT — perf-floor probe only)
+_NET = _os.environ.get("ARROW_TPU_FILTER_NET", "gather")
+
 
 def _unpack_block(w, subl: int):
     """Expand (subl/32, LANES) packed u32 words to a (subl, LANES) 0/1 plane.
@@ -78,6 +104,7 @@ def _make_kernel(block: int, nv: int, nw: int):
     win = block + TILE
     subw = win // LANES
     nbits = (win - 1).bit_length()
+    nbits_row = (subw - 1).bit_length()  # v4 row-network depth
     np_ = nv + nw  # total value planes moved through the network
 
     def kernel(nb_ref, *refs):
@@ -187,13 +214,43 @@ def _make_kernel(block: int, nv: int, nw: int):
             rowoff = jnp.dot(
                 lstrict, rowsum.astype(jnp.bfloat16), preferred_element_type=jnp.float32
             )
-            rank_excl = (within + rowoff).astype(jnp.int32) - sel
             cnt = jnp.sum(self16.astype(jnp.float32)).astype(jnp.int32)
-            rem_b = jnp.where(
-                sel == 1,
-                idxb - rank_excl + (jnp.int32(TILE) - shift),
-                jnp.zeros_like(idxb),
-            )
+            if _NET == "gather":
+                # ---- v4 move: all index math before the data DMAs land ----
+                Ci = within.astype(jnp.int32)  # per-row INCLUSIVE ranks, sorted
+                cntb = rowsum.astype(jnp.int32)
+                rowoff_i = rowoff.astype(jnp.int32)
+                # dest flat offset of row r's first selected element
+                # (dest = shift + rank: the window's data region starts at
+                # offset TILE and the compacted run at offset shift)
+                base = shift + rowoff_i
+                lane_b = ii(jnp.int32, (subl, LANES), 1)
+                # j' = which selected element of the row lands on lane q
+                jp = (lane_b - base) & jnp.int32(127)
+                # branchless searchsorted: pos = #{l: Ci[r,l] <= j'} = source
+                # lane of the (j'+1)-th selected element (max probe idx 126)
+                pos = jnp.zeros((subl, LANES), jnp.int32)
+                for kk in (64, 32, 16, 8, 4, 2, 1):
+                    cval = taa_lanes(Ci, pos + jnp.int32(kk - 1))
+                    pos = pos + jnp.where(
+                        cval <= jp, jnp.int32(kk), jnp.int32(0)
+                    )
+                src = jnp.minimum(pos, jnp.int32(127))
+                live = jp < cntb
+                destrow = (base + jp) >> jnp.int32(7)
+                row_b = ii(jnp.int32, (subl, LANES), 0)
+                drow = row_b + jnp.int32(HEADR) - destrow
+                rem_b = jnp.where(live, drow, jnp.zeros_like(drow))
+            elif _NET == "none":  # perf-floor probe
+                rem_b = jnp.zeros((subl, LANES), jnp.int32)
+            else:
+                # ---- v3 move: element-granular displacements --------------
+                rank_excl = (within + rowoff).astype(jnp.int32) - sel
+                rem_b = jnp.where(
+                    sel == 1,
+                    idxb - rank_excl + (jnp.int32(TILE) - shift),
+                    jnp.zeros_like(idxb),
+                )
 
             # unpacked word planes (validity / bool columns) -> window tails
             for p in range(nw):
@@ -211,23 +268,55 @@ def _make_kernel(block: int, nv: int, nw: int):
             for p in range(nv):
                 rd_v(i, p).wait()
 
-            cur = [winb[p][s] for p in range(np_)]  # head rows stale; rem=0 inert
             rem = jnp.concatenate(
                 [jnp.zeros((HEADR, LANES), jnp.int32), rem_b], axis=0
             )
-            for st in range(nbits):
-                bit = 1 << st
-                nxt_rem = _flat_roll_left(rem, bit)
-                moved_in = ((nxt_rem >> st) & 1) == 1
-                my_move = ((rem >> st) & 1) == 1
+            if _NET == "none":  # perf-floor probe: DMA structure, no move
+                cur = [winb[p][s] for p in range(np_)]
+            elif _NET == "gather":
+                # phase 1: one composed lane gather per plane; dead lanes
+                # hold garbage with rem=0 (holes the row network overwrites)
                 cur = [
-                    jnp.where(moved_in, _flat_roll_left(c, bit), c) for c in cur
+                    jnp.concatenate(
+                        [
+                            winb[p][s, :HEADR, :],
+                            taa_lanes(winb[p][s, pl.ds(HEADR, subl), :], src),
+                        ],
+                        axis=0,
+                    )
+                    for p in range(np_)
                 ]
-                rem = jnp.where(
-                    moved_in,
-                    nxt_rem - bit,
-                    jnp.where(my_move, jnp.zeros_like(rem), rem),
-                )
+                # phase 2: row-granular hole filling (1-op full-row rolls)
+                for st in range(nbits_row):
+                    bit = 1 << st
+                    nxt_rem = _flat_roll_left(rem, bit * LANES)
+                    moved_in = ((nxt_rem >> st) & 1) == 1
+                    my_move = ((rem >> st) & 1) == 1
+                    cur = [
+                        jnp.where(moved_in, _flat_roll_left(c, bit * LANES), c)
+                        for c in cur
+                    ]
+                    rem = jnp.where(
+                        moved_in,
+                        nxt_rem - bit,
+                        jnp.where(my_move, jnp.zeros_like(rem), rem),
+                    )
+            else:
+                cur = [winb[p][s] for p in range(np_)]  # head rows stale
+                for st in range(nbits):
+                    bit = 1 << st
+                    nxt_rem = _flat_roll_left(rem, bit)
+                    moved_in = ((nxt_rem >> st) & 1) == 1
+                    my_move = ((rem >> st) & 1) == 1
+                    cur = [
+                        jnp.where(moved_in, _flat_roll_left(c, bit), c)
+                        for c in cur
+                    ]
+                    rem = jnp.where(
+                        moved_in,
+                        nxt_rem - bit,
+                        jnp.where(my_move, jnp.zeros_like(rem), rem),
+                    )
 
             take_prev = widx8 < shift
             for p in range(np_):

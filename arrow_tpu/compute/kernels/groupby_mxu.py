@@ -49,8 +49,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 LANES = 128
 GROUP_ROWS = 8  # rows per MXU matmul group (1024 elements)
+
+#: "direct" = one-hot via bool->bf16 astype (2 ops per piece); "select" =
+#: r3's f32 where + convert (5 ops per piece, the Mosaic-safe fallback)
+_ELO = _os.environ.get("ARROW_TPU_GROUPBY_ELO", "direct")
+#: elements per MXU matmul group = _GR * 128 (loop-overhead amortization knob)
+_GR = int(_os.environ.get("ARROW_TPU_GROUPBY_ROWS", str(GROUP_ROWS)))
 NHI = 32
 NLO = 128
 SLOTS = NHI * NLO  # 4096
@@ -72,7 +80,8 @@ def nlimbs_for_bits(valbits: int) -> int:
 
 def _make_kernel(block: int, nlimb: int):
     subl = block // LANES
-    ngroups = subl // GROUP_ROWS
+    group_rows = _GR
+    ngroups = subl // group_rows
 
     def kernel(nb_ref, len_ref, keys_hbm, vals_hbm, cnt_out, *rest):
         kbuf, vbuf, cnt_acc = rest[2 * nlimb], rest[2 * nlimb + 1], rest[2 * nlimb + 2]
@@ -110,12 +119,25 @@ def _make_kernel(block: int, nlimb: int):
                 rd(i + 1, keys_hbm, kbuf, sem_k, m2).start()
                 rd(i + 1, vals_hbm, vbuf, sem_v, m2).start()
 
+            # ONE block-level sentinel pass replaces r3's per-piece length
+            # gate (which cost 2 extra (128,128) ops on every elo cond):
+            # rows beyond the logical length get key SLOTS, whose hi one-hot
+            # column is all-zero (hi8 compares UNMASKED below), so dead rows
+            # contribute to neither counts nor sums
+            flat_row = (
+                i * jnp.int32(subl)
+                + ii(jnp.int32, (subl, LANES), 0)
+            ) * jnp.int32(LANES) + ii(jnp.int32, (subl, LANES), 1)
+            kbuf[m] = jnp.where(
+                flat_row < len_ref[0], kbuf[m], jnp.int32(SLOTS)
+            )
+
             def group(g, accs):
                 cnt_p, sums_p = accs
-                r0 = pl.multiple_of(g * jnp.int32(GROUP_ROWS), GROUP_ROWS)
-                k8 = kbuf[m, pl.ds(r0, GROUP_ROWS), :]
-                v8 = vbuf[m, pl.ds(r0, GROUP_ROWS), :]
-                hi8 = (k8 >> 7) & jnp.int32(NHI - 1)
+                r0 = pl.multiple_of(g * jnp.int32(group_rows), group_rows)
+                k8 = kbuf[m, pl.ds(r0, group_rows), :]
+                v8 = vbuf[m, pl.ds(r0, group_rows), :]
+                hi8 = k8 >> 7  # NO & mask: sentinel keys fall outside [0,NHI)
 
                 # Ehi (32 hi, 1024 elem): fused compare->bf16 per source row.
                 # Limb VALUES fold into ehi (the SMALL operand), not elo: the
@@ -128,30 +150,28 @@ def _make_kernel(block: int, nlimb: int):
                         iota_sub32
                         == jnp.broadcast_to(hi8[c : c + 1, :], (NHI, LANES))
                     ).astype(jnp.bfloat16)
-                    for c in range(GROUP_ROWS)
+                    for c in range(group_rows)
                 ]
                 ehi = jnp.concatenate(ehi_pieces, axis=1)
                 # ONE transpose per tile puts elements on sublanes; Elo pieces
-                # are (128, 1)->lane broadcasts of its columns
+                # are (128, 1)->lane broadcasts of its columns.  No length
+                # gate here any more (sentinel keys are dead via ehi).
                 kT8 = k8.T  # (128, GROUP_ROWS)
                 loT = kT8 & jnp.int32(NLO - 1)
-                zero = jnp.zeros((LANES, NLO), jnp.float32)
-                one = jnp.ones((LANES, NLO), jnp.float32)
-                # rows beyond the logical length (zero padding) must not
-                # aggregate: gate each piece's cond on its global row index
-                iota_col = ii(jnp.int32, (LANES, 1), 0)
-                base_row = i * jnp.int32(subl) + r0
                 conds = [
-                    (jnp.broadcast_to(loT[:, c : c + 1], (LANES, NLO)) == iota_lane)
-                    & jnp.broadcast_to(
-                        iota_col < len_ref[0] - (base_row + c) * jnp.int32(LANES),
-                        (LANES, NLO),
-                    )
-                    for c in range(GROUP_ROWS)
+                    jnp.broadcast_to(loT[:, c : c + 1], (LANES, NLO)) == iota_lane
+                    for c in range(group_rows)
                 ]
-                elo = jnp.concatenate(
-                    [jnp.where(c_, one, zero) for c_ in conds], axis=0
-                ).astype(jnp.bfloat16)
+                if _ELO == "direct":
+                    elo = jnp.concatenate(
+                        [c_.astype(jnp.bfloat16) for c_ in conds], axis=0
+                    )
+                else:
+                    zero = jnp.zeros((LANES, NLO), jnp.float32)
+                    one = jnp.ones((LANES, NLO), jnp.float32)
+                    elo = jnp.concatenate(
+                        [jnp.where(c_, one, zero) for c_ in conds], axis=0
+                    ).astype(jnp.bfloat16)
                 # each per-group f32 partial is exact (<= 2^18); accumulate
                 # across groups in s32 so block sums (up to 2^23) stay exact
                 cnt_p = cnt_p + jax.lax.dot_general(
@@ -169,7 +189,7 @@ def _make_kernel(block: int, nlimb: int):
                             * jnp.broadcast_to(
                                 limb8[c : c + 1, :], (NHI, LANES)
                             ).astype(jnp.bfloat16)
-                            for c in range(GROUP_ROWS)
+                            for c in range(group_rows)
                         ],
                         axis=1,
                     )

@@ -1,32 +1,54 @@
-"""Pallas streaming pairwise-merge kernel — the sort substrate.
+"""Pallas streaming pairwise-merge kernel — the sort substrate (v2).
 
 Full sorts run as: ONE batched XLA sort producing 8192-element runs (the
-batched network is ~4x cheaper per element than XLA's flat full-length sort),
-then log2(n/8192) passes of this kernel, each merging adjacent run pairs in a
-single HBM round trip.  Measured throughput lives in BENCH_DETAILS.json
-(`sort_u32_kv`); design rationale in docs/sort_design_notes.md.
+batched network is ~4.5x cheaper per element than XLA's flat full-length
+sort: 130 ms vs 589 ms at 134M, tools/probe_r4.py), then log2(n/8192) passes
+of this kernel, each merging adjacent run pairs in a single HBM round trip.
+Measured throughput lives in BENCH_DETAILS.json (`sort_u32_kv`); design
+rationale in docs/sort_design_notes.md.
 
 The run length is a RUNTIME SCALAR, so one compiled kernel serves every pass
-of a given n (the remote Mosaic compiler costs 20-40s per compile).
+of a given n (the remote Mosaic compiler costs 200-800 s per compile).
+
+v2 changes over the round-3 kernel (its measured diagnosis: 91.6 ms/pass,
+DMA-LATENCY-bound at 2.8 us/step because every deque refill started a DMA
+and immediately waited on it):
+
+1. **Prefetch-ahead circular deques.**  Each stream's deque holds NSLOT=4
+   tiles in a circular VMEM buffer; tile k DMAs into slot k%NSLOT as soon as
+   the slot frees (tile k-NSLOT fully consumed), and the step loop only
+   WAITS when its window first enters a tile — by which point that DMA has
+   had >= (NSLOT-2) tiles' worth of step compute to complete.
+2. **taa XOR-partner lane stages.**  Bitonic-clean stages with d < 128 pair
+   element i with lane i^d via ONE static `take_along_axis` gather per plane
+   instead of a 4-op roll-left + 4-op roll-right pair; measured 2.1x cheaper
+   per step (probe_r4 mb_step_taa 0.99 us vs mb_step_rollpair 1.85 us).
+3. **2-plane unique-payload mode.**  When the single payload plane is
+   strictly ordering (argsort's row-index plane; any position-derived
+   payload), the comparator is lexicographic (key, payload) and the
+   synthetic window-position tiebreak plane is dropped: 2 planes through the
+   network instead of 3.  Output equals the stable sort's (the payload IS
+   the stability witness).  Stage-1 must then sort with num_keys=2.
 
 Per merge step (T = 4096 elements):
-  1. extract each stream's next-T window from its VMEM deque (dynamic flat
-     roll by the head offset);
+  1. extract each stream's next-T window from its circular deque (dynamic
+     flat roll by the head offset);
   2. Batcher half-cleaner against the REVERSED B window: the elementwise
      winners min(A[i], B[T-1-i]) are exactly the lowest T of the union, and
      they form a BITONIC sequence (classic bitonic-merge first stage);
   3. one log2(T)-stage bitonic merge network sorts the winner tile; a
      window-position tiebreak plane keeps the merge STABLE (A-parts before
-     B-parts for equal keys, stream order within each part);
-  4. consumed counts (popcount of the winner mask) advance each deque; a
-     deque refills one T-tile at a time, so every DMA has a static buffer
-     destination and a tile-aligned HBM source.
+     B-parts for equal keys, stream order within each part) — or, in
+     unique-payload mode, the payload plane is the tiebreak;
+  4. consumed counts (popcount of the winner mask) advance each deque.
 
-Exhausted streams refill with INT32_MAX sentinels; the comparator masks
-positions beyond the stream's remaining count, so real INT32_MAX keys still
-order correctly, and exact output lengths guarantee sentinels are never
-emitted.  Keys must be pre-transformed to sortable int32 (wrapper below);
-any number of 32-bit payload planes ride the network.
+Exhausted streams leave stale data in their deque slots; the comparator
+masks positions beyond the stream's remaining count, so stale values are
+never selected while output remains (remA+remB >= T until the pair's last
+tile), real INT32_MAX keys order correctly, and exact output lengths
+guarantee nothing stale is emitted.  Keys must be pre-transformed to
+sortable int32 (wrapper below); any number of 32-bit payload planes ride
+the network.
 
 ≙ reference seed: the multi-pass reduction relaunch loop
 `/root/reference/crates/arithmetic/src/aggregate_kernels.rs:24-52`; the
@@ -56,7 +78,8 @@ from .kutils import taa_lanes
 LANES = 128
 T = 4096  # elements per merge step
 TR = T // LANES  # 32 rows
-CAPR = 2 * TR  # deque capacity: 64 rows
+NSLOT = 4  # circular deque depth (window spans <= 2 tiles; 2 prefetch-ahead)
+CAPR = NSLOT * TR  # deque rows
 SENT = 0x7FFFFFFF  # python int: jnp constants captured by kernels are rejected
 
 
@@ -81,13 +104,15 @@ def _reverse_tile(x):
     return taa_lanes(xr, jnp.int32(LANES - 1) - ii(jnp.int32, (TR, LANES), 1))
 
 
-def _make_kernel(n: int, nplanes: int):
-    nrows_in = n // LANES
+def _make_kernel(n: int, nplanes: int, unique_payload: bool):
+    """nplanes includes the key plane.  unique_payload=True requires
+    nplanes == 2 with a strictly-ordering payload (see module docstring)."""
+    assert not unique_payload or nplanes == 2
 
     def kernel(scal_ref, *refs):
         # refs: ins[nplanes] (HBM), outs[nplanes] (HBM),
-        #       bufA[nplanes] (CAPR,128), bufB[nplanes], ostage[nplanes] (2,TR,128),
-        #       sem_a, sem_b, sem_o(2,)
+        #       bufA[nplanes] (CAPR,128), bufB[nplanes], ostage[nplanes]
+        #       (2,TR,128), sem_a(NSLOT,), sem_b(NSLOT,), sem_o(2,)
         L = scal_ref[0]
         ins = refs[:nplanes]
         outs = refs[nplanes : 2 * nplanes]
@@ -100,39 +125,28 @@ def _make_kernel(n: int, nplanes: int):
         iota_flat = ii(jnp.int32, (TR, LANES), 0) * LANES + ii(
             jnp.int32, (TR, LANES), 1
         )
+        lane_i = ii(jnp.int32, (TR, LANES), 1)
         n_pairs = lax.div(jnp.int32(n) + 2 * L - 1, 2 * L)
 
-        def fetch(bufs, sem, src_off, have):
-            """DMA one tile into deque rows [TR:CAPR] or sentinel-fill."""
+        def fetch_copies(bufs, sem, start, tile):
+            slot = lax.rem(tile, jnp.int32(NSLOT))
+            row0 = lax.div(start, jnp.int32(LANES)) + tile * jnp.int32(TR)
+            return [
+                pltpu.make_async_copy(
+                    ins[p].at[pl.ds(row0, TR), :],
+                    bufs[p].at[pl.ds(slot * jnp.int32(TR), TR)],
+                    sem.at[slot],
+                )
+                for p in range(nplanes)
+            ]
 
-            @pl.when(have)
-            def _():
-                row0 = lax.div(src_off, jnp.int32(LANES))
-                for p in range(nplanes):
-                    pltpu.make_async_copy(
-                        ins[p].at[pl.ds(row0, TR), :],
-                        bufs[p].at[pl.ds(TR, TR)],
-                        sem,
-                    ).start()
-                for p in range(nplanes):
-                    pltpu.make_async_copy(
-                        ins[p].at[pl.ds(row0, TR), :],
-                        bufs[p].at[pl.ds(TR, TR)],
-                        sem,
-                    ).wait()
+        def start_tile(bufs, sem, start, tile):
+            for c in fetch_copies(bufs, sem, start, tile):
+                c.start()
 
-            @pl.when(jnp.logical_not(have))
-            def _():
-                for p in range(nplanes):
-                    bufs[p][pl.ds(TR, TR), :] = jnp.full(
-                        (TR, LANES), SENT, jnp.int32
-                    )
-
-        def shift_refill(bufs, sem, start, fetched, len_s):
-            """Deque rows [0:TR] <- [TR:CAPR]; fetch next tile into [TR:CAPR]."""
-            for p in range(nplanes):
-                bufs[p][pl.ds(0, TR), :] = bufs[p][pl.ds(TR, TR), :]
-            fetch(bufs, sem, start + fetched, fetched < len_s)
+        def wait_tile(bufs, sem, start, tile):
+            for c in fetch_copies(bufs, sem, start, tile):
+                c.wait()
 
         def pair_body(pi, carry):
             startA = pi * 2 * L
@@ -142,22 +156,37 @@ def _make_kernel(n: int, nplanes: int):
             lenB = jnp.minimum(jnp.maximum(jnp.int32(n) - startB, jnp.int32(0)), L)
             out_row0 = lax.div(startA, jnp.int32(LANES))
             out_tiles = lax.div(lenA + lenB, jnp.int32(T))
+            fmaxA = lax.div(lenA + jnp.int32(T - 1), jnp.int32(T))
+            fmaxB = lax.div(lenB + jnp.int32(T - 1), jnp.int32(T))
 
-            # prefill both deques (two tiles each)
-            for p in range(nplanes):
-                bufA[p][pl.ds(0, TR), :] = jnp.full((TR, LANES), SENT, jnp.int32)
-                bufB[p][pl.ds(0, TR), :] = jnp.full((TR, LANES), SENT, jnp.int32)
-            fetch(bufA, sem_a, startA, lenA > 0)
-            for p in range(nplanes):
-                bufA[p][pl.ds(0, TR), :] = bufA[p][pl.ds(TR, TR), :]
-            fetch(bufA, sem_a, startA + T, lenA > T)
-            fetch(bufB, sem_b, startB, lenB > 0)
-            for p in range(nplanes):
-                bufB[p][pl.ds(0, TR), :] = bufB[p][pl.ds(TR, TR), :]
-            fetch(bufB, sem_b, startB + T, lenB > T)
+            # prefill: start the first NSLOT tiles of each stream
+            for tile in range(NSLOT):
+                @pl.when(jnp.int32(tile) < fmaxA)
+                def _():
+                    start_tile(bufA, sem_a, startA, jnp.int32(tile))
+
+                @pl.when(jnp.int32(tile) < fmaxB)
+                def _():
+                    start_tile(bufB, sem_b, startB, jnp.int32(tile))
 
             def step(j, st):
-                hA, hB, remA, remB, fA, fB = st
+                hA, hB, consA, consB, nwA, nwB, nfA, nfB = st
+
+                # wait for any tile the windows are entering (at most one new
+                # tile per stream per step: cons advances <= T)
+                twA = lax.div(consA + jnp.int32(T - 1), jnp.int32(T))
+                @pl.when(jnp.logical_and(nwA <= twA, nwA < fmaxA))
+                def _():
+                    wait_tile(bufA, sem_a, startA, nwA)
+
+                nwA = jnp.where(jnp.logical_and(nwA <= twA, nwA < fmaxA), nwA + 1, nwA)
+                twB = lax.div(consB + jnp.int32(T - 1), jnp.int32(T))
+                @pl.when(jnp.logical_and(nwB <= twB, nwB < fmaxB))
+                def _():
+                    wait_tile(bufB, sem_b, startB, nwB)
+
+                nwB = jnp.where(jnp.logical_and(nwB <= twB, nwB < fmaxB), nwB + 1, nwB)
+
                 winA = [
                     _flat_roll_left_dyn(bufA[p][...], hA)[:TR, :]
                     for p in range(nplanes)
@@ -168,11 +197,20 @@ def _make_kernel(n: int, nplanes: int):
                 ]
                 revB = [_reverse_tile(w) for w in winB]
 
+                remA = lenA - consA
+                remB = lenB - consB
                 sA = iota_flat >= remA
                 sBrev = iota_flat < jnp.int32(T) - remB
                 kA, kBrev = winA[0], revB[0]
+                if unique_payload:
+                    a_le_b = jnp.logical_or(
+                        kA < kBrev,
+                        jnp.logical_and(kA == kBrev, winA[1] <= revB[1]),
+                    )
+                else:
+                    a_le_b = kA <= kBrev
                 lessA = jnp.logical_and(
-                    jnp.logical_not(sA), jnp.logical_or(sBrev, kA <= kBrev)
+                    jnp.logical_not(sA), jnp.logical_or(sBrev, a_le_b)
                 )
                 # typed f32 planes: weak 1.0/0.0 literals become f64 vectors
                 # under x64, which Mosaic's layout checker aborts on
@@ -184,53 +222,79 @@ def _make_kernel(n: int, nplanes: int):
                     )
                 ).astype(jnp.int32)
 
-                low = [
-                    jnp.where(lessA, a, b) for a, b in zip(winA, revB)
-                ]
-                t = jnp.where(lessA, iota_flat, jnp.int32(2 * T - 1) - iota_flat)
+                low = [jnp.where(lessA, a, b) for a, b in zip(winA, revB)]
 
-                # bitonic merge network: the winner tile is bitonic
-                k_, planes = low[0], low[1:]
+                # network planes: [key, tiebreak, payloads...] where the
+                # tiebreak is either the unique payload itself or the
+                # synthetic window position
+                if unique_payload:
+                    k_, t = low[0], low[1]
+                    planes = []
+                else:
+                    k_ = low[0]
+                    t = jnp.where(
+                        lessA, iota_flat, jnp.int32(2 * T - 1) - iota_flat
+                    )
+                    planes = low[1:]
+
                 one32 = jnp.ones((TR, LANES), jnp.int32)
                 zero32 = jnp.zeros((TR, LANES), jnp.int32)
                 for s in range(T.bit_length() - 2, -1, -1):
                     d = 1 << s
                     posbit = (iota_flat & d) != 0  # static plane
-                    Lk = _flat_roll_left(k_, d)
-                    Lt = _flat_roll_left(t, d)
-                    # keep as i32: rolling i1 vectors crashes Mosaic layout
-                    keep32 = jnp.where(
-                        jnp.logical_or(
-                            k_ < Lk, jnp.logical_and(k_ == Lk, t <= Lt)
-                        ),
-                        one32,
-                        zero32,
-                    )
-                    takeSelf = (
-                        jnp.where(posbit, _flat_roll_right(keep32, d), keep32)
-                        == 1
-                    )
+                    if d < LANES:
+                        # XOR-partner lane gather: 1 op/plane vs 8-op rolls
+                        idx = lane_i ^ d
+                        pk = taa_lanes(k_, idx)
+                        pt = taa_lanes(t, idx)
+                        cond = jnp.logical_or(
+                            k_ < pk, jnp.logical_and(k_ == pk, t < pt)
+                        )
+                        # keep self iff (self is min) == (position wants min)
+                        keep_self = jnp.logical_xor(cond, posbit)
+                        k_ = jnp.where(keep_self, k_, pk)
+                        t = jnp.where(keep_self, t, pt)
+                        planes = [
+                            jnp.where(keep_self, x, taa_lanes(x, idx))
+                            for x in planes
+                        ]
+                    else:
+                        Lk = _flat_roll_left(k_, d)
+                        Lt = _flat_roll_left(t, d)
+                        # keep as i32: rolling i1 vectors crashes Mosaic layout
+                        keep32 = jnp.where(
+                            jnp.logical_or(
+                                k_ < Lk, jnp.logical_and(k_ == Lk, t <= Lt)
+                            ),
+                            one32,
+                            zero32,
+                        )
+                        takeSelf = (
+                            jnp.where(posbit, _flat_roll_right(keep32, d), keep32)
+                            == 1
+                        )
 
-                    def ce(x, Lx):
-                        other = jnp.where(posbit, _flat_roll_right(x, d), Lx)
-                        return jnp.where(takeSelf, x, other)
+                        def ce(x, Lx):
+                            other = jnp.where(posbit, _flat_roll_right(x, d), Lx)
+                            return jnp.where(takeSelf, x, other)
 
-                    new_k = ce(k_, Lk)
-                    new_t = ce(t, Lt)
-                    planes = [ce(x, _flat_roll_left(x, d)) for x in planes]
-                    k_, t = new_k, new_t
+                        new_k = ce(k_, Lk)
+                        new_t = ce(t, Lt)
+                        planes = [ce(x, _flat_roll_left(x, d)) for x in planes]
+                        k_, t = new_k, new_t
 
                 slot = lax.rem(j, jnp.int32(2))
-                res = [k_] + planes
+                if unique_payload:
+                    res = [k_, t]
+                else:
+                    res = [k_] + planes
 
                 @pl.when(j >= 2)
                 def _():
                     for p in range(nplanes):
                         pltpu.make_async_copy(
                             ostage[p].at[slot],
-                            outs[p].at[
-                                pl.ds(out_row0 + (j - 2) * TR, TR), :
-                            ],
+                            outs[p].at[pl.ds(out_row0 + (j - 2) * TR, TR), :],
                             sem_o.at[slot],
                         ).wait()
 
@@ -243,31 +307,40 @@ def _make_kernel(n: int, nplanes: int):
                     ).start()
 
                 cB = jnp.int32(T) - cA
-                hA, remA = hA + cA, remA - cA
-                hB, remB = hB + cB, remB - cB
+                consA = consA + cA
+                consB = consB + cB
+                hA = lax.rem(hA + cA, jnp.int32(NSLOT * T))
+                hB = lax.rem(hB + cB, jnp.int32(NSLOT * T))
 
-                # shift + refill when a head crosses the first tile
-                @pl.when(hA >= T)
+                # refill-start: tile nf's slot frees once nf-NSLOT tiles are
+                # fully consumed (at most one per stream per step)
+                canA = jnp.logical_and(
+                    nfA < fmaxA, nfA < lax.div(consA, jnp.int32(T)) + jnp.int32(NSLOT)
+                )
+                @pl.when(canA)
                 def _():
-                    shift_refill(bufA, sem_a, startA, fA, lenA)
+                    start_tile(bufA, sem_a, startA, nfA)
 
-                @pl.when(hB >= T)
+                nfA = jnp.where(canA, nfA + 1, nfA)
+                canB = jnp.logical_and(
+                    nfB < fmaxB, nfB < lax.div(consB, jnp.int32(T)) + jnp.int32(NSLOT)
+                )
+                @pl.when(canB)
                 def _():
-                    shift_refill(bufB, sem_b, startB, fB, lenB)
+                    start_tile(bufB, sem_b, startB, nfB)
 
-                fA = jnp.where(hA >= T, fA + jnp.int32(T), fA)
-                hA = jnp.where(hA >= T, hA - jnp.int32(T), hA)
-                fB = jnp.where(hB >= T, fB + jnp.int32(T), fB)
-                hB = jnp.where(hB >= T, hB - jnp.int32(T), hB)
-                return hA, hB, remA, remB, fA, fB
+                nfB = jnp.where(canB, nfB + 1, nfB)
+                return hA, hB, consA, consB, nwA, nwB, nfA, nfB
 
             st0 = (
                 jnp.int32(0),
                 jnp.int32(0),
-                lenA,
-                lenB,
-                jnp.int32(2 * T),
-                jnp.int32(2 * T),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.minimum(jnp.int32(NSLOT), fmaxA),
+                jnp.minimum(jnp.int32(NSLOT), fmaxB),
             )
             st = lax.fori_loop(jnp.int32(0), out_tiles, step, st0)
 
@@ -294,28 +367,37 @@ def _make_kernel(n: int, nplanes: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def merge_pass_pallas(planes, run_len, interpret: bool | None = None):
+@functools.partial(
+    jax.jit, static_argnames=("unique_payload", "interpret")
+)
+def merge_pass_pallas(
+    planes, run_len, unique_payload: bool = False, interpret: bool | None = None
+):
     """One pairwise merge pass: sorted runs of `run_len` -> runs of 2*run_len.
 
     planes: tuple of (n,) int32 arrays — plane 0 is the sortable key, the
     rest are payloads; n % 8192 == 0; run_len a multiple of 8192 (traced
-    scalar OK).  Stable.  Returns the merged planes.
+    scalar OK).  Stable.  unique_payload=True (exactly one payload plane
+    that strictly orders equal keys, e.g. argsort's row indices): the
+    payload is the comparator tiebreak and runs must be sorted by
+    (key, payload).  Returns the merged planes.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     planes = tuple(planes)
     nplanes = len(planes)
+    if unique_payload and nplanes != 2:
+        raise ValueError("unique_payload mode requires exactly key + payload")
     n = planes[0].shape[0]
     assert n % 8192 == 0
-    kernel = _make_kernel(n, nplanes)
+    kernel = _make_kernel(n, nplanes, unique_payload)
 
     scratch = (
         [pltpu.VMEM((CAPR, LANES), jnp.int32) for _ in range(2 * nplanes)]
         + [pltpu.VMEM((2, TR, LANES), jnp.int32) for _ in range(nplanes)]
         + [
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     )
@@ -365,15 +447,32 @@ def from_sortable_i32(k, dtype):
     raise TypeError(f"no sortable transform for {dtype}")
 
 
-@functools.partial(jax.jit, static_argnames=("length", "interpret"))
-def sort_kv_pallas(keys, payloads=(), length=None, interpret: bool | None = None):
+@functools.partial(
+    jax.jit, static_argnames=("length", "unique_payload", "interpret")
+)
+def sort_kv_pallas(
+    keys,
+    payloads=(),
+    length=None,
+    unique_payload: bool = False,
+    interpret: bool | None = None,
+):
     """Full stable key sort with payload planes: batched stage-1 + merge passes.
 
     keys: (n,) u32/i32/f32, n % 8192 == 0; payloads: tuple of (n,) 32-bit
     planes; rows >= `length` sort to the end (treated as +inf keys).
+    unique_payload: exactly one payload plane whose values strictly order
+    equal keys (argsort row indices, position-derived ranks) — drops the
+    synthetic tiebreak plane from the merge network (2 planes instead of 3).
+    Unique-mode requirements: payloads compare as SIGNED i32 bit patterns
+    (use non-negative values), and when `length` masks padded rows their
+    payloads must exceed every live payload (row indices satisfy both) —
+    otherwise a padded row could tie-break ahead of a live INT32_MAX key.
     """
     n = keys.shape[0]
     assert n % 8192 == 0
+    if unique_payload and len(payloads) != 1:
+        raise ValueError("unique_payload mode requires exactly one payload")
     k = to_sortable_i32(keys)
     if length is not None and length < n:
         idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -384,13 +483,15 @@ def sort_kv_pallas(keys, payloads=(), length=None, interpret: bool | None = None
     ops = lax.sort(
         [k.reshape(-1, R0)] + [p.reshape(-1, R0) for p in pl_],
         dimension=1,
-        num_keys=1,
+        num_keys=2 if unique_payload else 1,
         is_stable=True,
     )
     planes = tuple(o.reshape(-1) for o in ops)
     L = R0
     while L < n:
-        planes = merge_pass_pallas(planes, L, interpret=interpret)
+        planes = merge_pass_pallas(
+            planes, L, unique_payload=unique_payload, interpret=interpret
+        )
         L *= 2
     out_k = from_sortable_i32(planes[0], keys.dtype)
     out_ps = tuple(

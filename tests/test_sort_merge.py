@@ -167,3 +167,46 @@ def test_argsort_merge_path(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(order.raw_values(), np.uint32), np.argsort(keys, kind="stable")
     )
+
+
+@pytest.mark.parametrize("npads", [0, 1000])
+def test_sort_kv_unique_payload_mode(npads):
+    """v2 2-plane network: payload-as-tiebreak equals the stable sort when
+    the payload is a row index (incl. INT32_MAX keys vs padded rows)."""
+    import jax.numpy as jnp
+
+    from arrow_tpu.compute.kernels.merge import sort_kv_pallas
+
+    rng = np.random.default_rng(7)
+    n = 32768
+    length = n - npads
+    keys = rng.integers(0, 9, n).astype(np.uint32)
+    keys[5] = 0x7FFFFFFF  # real INT32_MAX-as-i32 sortable key among pads
+    rows = np.arange(n, dtype=np.uint32)
+    ok, (orow,) = sort_kv_pallas(
+        jnp.asarray(keys), (jnp.asarray(rows),), length=length,
+        unique_payload=True, interpret=True,
+    )
+    order = np.argsort(keys[:length], kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok)[:length], keys[:length][order])
+    np.testing.assert_array_equal(np.asarray(orow)[:length], order.astype(np.uint32))
+
+
+def test_sort_kv_unique_payload_fuzz():
+    import jax.numpy as jnp
+
+    from arrow_tpu.compute.kernels.merge import sort_kv_pallas
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.choice([8192, 16384, 65536]))
+        dom = int(rng.choice([2, 50, 1 << 31]))
+        keys = rng.integers(0, dom, n).astype(np.uint32)
+        rows = np.arange(n, dtype=np.uint32)
+        ok, (orow,) = sort_kv_pallas(
+            jnp.asarray(keys), (jnp.asarray(rows),),
+            unique_payload=True, interpret=True,
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(np.asarray(ok), keys[order])
+        np.testing.assert_array_equal(np.asarray(orow), order.astype(np.uint32))
