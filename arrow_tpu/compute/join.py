@@ -22,8 +22,25 @@ build+probe keys (`probe_bounds`), then an emit pass expands the ranges:
 `num_keys=2` — TPU lanes are 32-bit and emulated u64 comparators are both ~2x
 slower and crash some deployment toolchains (`utils.scans.sort_limbs`).
 
-Two programs: a count pass (shape-stable) and an emit pass whose output
-capacity is bucketed to limit recompiles across total sizes.
+Two emit strategies:
+
+- **merge-expand** (TPU default, round 4): the whole join materializes with
+  ZERO random gathers.  XLA's gather at this scale is serialized
+  (measured 982 ms for 67M u32 lookups, /root/scratch/join_probes.json —
+  the round-3 emit path cost 10.9 s at the bench config because of three of
+  them plus a method="sort" searchsorted).  Instead: ONE co-sort builds, in
+  key order, the build-rank->row-id list (sorder) and the non-empty probe
+  run list (end, probe_row, lo) via Pallas compactions; one Pallas MERGE
+  pass of (run ends x output iota) run-length-DECODES every output's
+  (probe_row, build rank) — packed-i64 cummax fills propagate the run
+  payloads, so equal work rides 3 bandwidth-bound scans; a second merge
+  pass against the rank-indexed sorder list resolves build ranks to row
+  ids.  Output order is build-rank-major (join output order is
+  implementation-defined; every test compares pair SETS).
+- **legacy** (CPU / fallback): searchsorted-by-sort + XLA gathers — correct
+  everywhere, quadratically slower at scale.
+
+ARROW_TPU_JOIN_EMIT forces "merge" or "legacy" ("auto" default).
 
 Null semantics: NULL keys never match (dropped from both sides).
 """
@@ -176,6 +193,230 @@ def _bucket(n: int) -> int:
     return p
 
 
+# ---------------------------------------------------------------------------
+# merge-expand emit (gather-free, TPU fast path)
+# ---------------------------------------------------------------------------
+
+_SENT = 0x7FFFFFFF
+
+
+def _fit(x, cap: int):
+    """Static-shape pad/slice of a 1-D plane to `cap` (zero fill)."""
+    n = x.shape[0]
+    if n == cap:
+        return x
+    if n > cap:
+        return x[:cap]
+    return jnp.concatenate([x, jnp.zeros((cap - n,), x.dtype)])
+
+
+def _compact_planes(planes, mask):
+    """Compact i32 planes by a bool mask (front-packed, zero-padded tail).
+
+    TPU: the Pallas block-compaction kernel; elsewhere the XLA
+    stable-partition ladder.  Output planes are sliced back to input length.
+    """
+    n = planes[0].shape[0]
+    if jax.default_backend() == "tpu" and n % 8192 == 0:
+        from .kernels.compaction3 import compact_multi_pallas
+
+        outs, _, _cnt = compact_multi_pallas(
+            tuple(planes), (), B.pack_bits(mask)
+        )
+        return tuple(o[:n] for o in outs)
+    from ..utils.scans import stable_partition
+
+    outs = stable_partition(mask, list(planes))
+    count = jnp.sum(mask, dtype=jnp.int32)
+    live = lax.broadcasted_iota(jnp.int32, (n,), 0) < count
+    return tuple(jnp.where(live, o, jnp.zeros_like(o)) for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _join_plan_program(spec: tuple):
+    """Co-sorted plan: ONE sort of concat(build, probe) keyed by limbs with a
+    single tagged-row-id payload; returns the key-ordered build row-id list
+    (sorder) and the non-empty probe run list (end, probe_row, lo)."""
+    (nb, lb, bv, np_, lp, pv) = spec
+
+    def run(bkeys, bvalidity, pkeys, pvalidity):
+        from ..utils.scans import prefix_sum, shift_cummax, sort_limbs
+
+        bvalid = _valid_mask(bkeys, bvalidity, lb)
+        pvalid = _valid_mask(pkeys, pvalidity, lp)
+        tot = nb + np_
+        keys = [
+            jnp.concatenate([b, p])
+            for b, p in zip(sort_limbs(bkeys), sort_limbs(pkeys))
+        ]
+        valid_all = jnp.concatenate([bvalid, pvalid])
+        # invalid rows: MAX keys (sort last) + dead row-id marker
+        keys = [
+            jnp.where(valid_all, k, jnp.asarray(jnp.iinfo(k.dtype).max, k.dtype))
+            for k in keys
+        ]
+        sorig = lax.broadcasted_iota(jnp.int32, (tot,), 0)
+        sorig = jnp.where(valid_all, sorig, jnp.int32(tot))
+        out = lax.sort([*keys, sorig], num_keys=len(keys), is_stable=True)
+        skeys, so = out[:-1], out[-1]
+        isb = (so < nb).astype(jnp.int32)
+        isp = jnp.logical_and(so >= nb, so < tot)
+        b4 = (prefix_sum(isb) - isb).astype(jnp.int32)
+        idx = lax.broadcasted_iota(jnp.int32, (tot,), 0)
+        start = idx == 0
+        for sk in skeys:
+            start = start | (sk != jnp.roll(sk, 1))
+        lo_s = shift_cummax(jnp.where(start, b4, -1))
+        nbv = jnp.sum(isb, dtype=jnp.int32)
+        after = nbv - b4 - isb
+        end = jnp.roll(start, -1).at[tot - 1].set(True)
+        hi_s = nbv - shift_cummax(jnp.where(end, after, -1), reverse=True)
+        cnt_s = jnp.where(isp, hi_s - lo_s, 0).astype(jnp.int32)
+        total = jnp.sum(cnt_s, dtype=jnp.int64)
+        offs64 = jnp.cumsum(cnt_s.astype(jnp.int64)) - cnt_s
+        ends_s = (offs64 + cnt_s).astype(jnp.int32)  # fast path gated <2^31
+        prow_s = so - jnp.int32(nb)
+        (sorder,) = _compact_planes((so,), isb == 1)
+        runs_mask = jnp.logical_and(isp, cnt_s > 0)
+        ends_l, prow_l, lo_l = _compact_planes(
+            (ends_s, prow_s, lo_s), runs_mask
+        )
+        m_eff = jnp.sum(runs_mask, dtype=jnp.int32)
+        return total, m_eff, sorder, ends_l, prow_l, lo_l
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_program(cap: int):
+    """Run-length decode: output slot j -> (probe_row, build rank).
+
+    One Pallas merge pass interleaves the (strictly increasing) run-end list
+    with the output iota; packed (key<<32 | payload) i64 cummaxes propagate
+    each run's (probe_row, lo) onto its outputs — monotone because the run
+    ends are, so a plain cummax IS the segmented fill.
+
+    Split into prep/merge/post dispatches: one fused program containing the
+    merge kernel plus the scans plus the compaction kernel SIGSEGVs the
+    remote Mosaic compile helper at caps >= 2^21 (each piece alone compiles
+    fine — bisected on-chip, round 4)."""
+    from .kernels.merge import merge_pass_pallas
+
+    @jax.jit
+    def prep(ends_l, prow_l, lo_l, m_eff):
+        qi = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        live_a = qi < m_eff
+        ka = jnp.where(live_a, _fit(ends_l, cap), jnp.int32(_SENT))
+        # A-row q owns outputs [end_q, end_{q+1}): carry the NEXT run's
+        # (probe_row, lo); the first run's values come from scalars in post
+        p1a = jnp.where(live_a, jnp.roll(_fit(prow_l, cap), -1), jnp.int32(0))
+        p2a = jnp.where(live_a, jnp.roll(_fit(lo_l, cap), -1), jnp.int32(0))
+        kb = qi
+        p1b = jnp.full((cap,), -1, jnp.int32)
+        p2b = jnp.zeros((cap,), jnp.int32)
+        return (
+            jnp.concatenate([ka, kb]),
+            jnp.concatenate([p1a, p1b]),
+            jnp.concatenate([p2a, p2b]),
+        )
+
+    # TWO i64 cummaxes in one XLA program also SIGSEGV the compile helper at
+    # these sizes; one per program compiles (bisect2 merge_cummax_4m)
+    @jax.jit
+    def fill_a(mk, m1, prow_l):
+        tag = m1 >= 0
+        mk64 = mk.astype(jnp.int64)
+        f1 = lax.cummax(
+            jnp.where(tag, (mk64 << 32) | m1.astype(jnp.int64), jnp.int64(-1))
+        )
+        valid = f1 >= 0
+        prow_j = jnp.where(
+            valid, (f1 & jnp.int64(0xFFFFFFFF)).astype(jnp.int32), prow_l[0]
+        )
+        ep = jnp.where(valid, (f1 >> 32).astype(jnp.int32), jnp.int32(0))
+        return prow_j, ep
+
+    @jax.jit
+    def fill_b(mk, m1, m2, lo_l, ep, total32):
+        tag = m1 >= 0
+        mk64 = mk.astype(jnp.int64)
+        f2 = lax.cummax(
+            jnp.where(tag, (mk64 << 32) | m2.astype(jnp.int64), jnp.int64(-1))
+        )
+        lo_j = jnp.where(
+            f2 >= 0, (f2 & jnp.int64(0xFFFFFFFF)).astype(jnp.int32), lo_l[0]
+        )
+        bpos = lo_j + (mk - ep)
+        # dead outputs (j >= total) sort last in the rank-fill stage
+        bpos = jnp.where(mk < total32, bpos, jnp.int32(_SENT - 1))
+        return bpos
+
+    @jax.jit
+    def post_compact(prow_j, bpos, m1):
+        pidx, bposc = _compact_planes((prow_j, bpos), m1 < 0)
+        return pidx[:cap], bposc[:cap]
+
+    def run(ends_l, prow_l, lo_l, m_eff, total32):
+        interp = jax.default_backend() != "tpu"
+        k, p1, p2 = prep(ends_l, prow_l, lo_l, m_eff)
+        mk, m1, m2 = merge_pass_pallas(
+            (k, p1, p2), jnp.int32(cap), interpret=interp
+        )
+        prow_j, ep = fill_a(mk, m1, prow_l)
+        bpos = fill_b(mk, m1, m2, lo_l, ep, total32)
+        return post_compact(prow_j, bpos, m1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_fill_program(cap: int, table_len: int):
+    """Resolve build RANKS to build ROW IDS without a gather: sort the
+    queries (the final output order becomes build-rank-major), merge them
+    with the rank-indexed sorder list, cummax-fill, compact."""
+    from .kernels.merge import merge_pass_pallas
+
+    L = max(cap, table_len)
+
+    @jax.jit
+    def prep(bpos, pidx, sorder):
+        sb_, sp_ = lax.sort([bpos, pidx], num_keys=1, is_stable=False)
+        qi = lax.broadcasted_iota(jnp.int32, (L,), 0)
+        ka = qi  # dense ranks: iota IS the table key
+        va = _fit(sorder, L)
+        ta = jnp.ones((L,), jnp.int32)
+        kb = _fit(sb_, cap if cap >= L else L)
+        if cap < L:
+            kb = jnp.where(qi < cap, kb, jnp.int32(_SENT))
+        vb = _fit(sp_, L)
+        tb = jnp.zeros((L,), jnp.int32)
+        return (
+            jnp.concatenate([ka, kb]),
+            jnp.concatenate([va, vb]),
+            jnp.concatenate([ta, tb]),
+        )
+
+    @jax.jit
+    def post(mk, mv, mt):
+        mk64 = mk.astype(jnp.int64)
+        f = lax.cummax(
+            jnp.where(
+                mt == 1, (mk64 << 32) | mv.astype(jnp.int64), jnp.int64(-1)
+            )
+        )
+        bidx = (f & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        pid_o, bid_o = _compact_planes((mv, bidx), mt == 0)
+        return pid_o[:cap], bid_o[:cap]
+
+    def run(bpos, pidx, sorder):
+        interp = jax.default_backend() != "tpu"
+        k, v, t = prep(bpos, pidx, sorder)
+        mk, mv, mt = merge_pass_pallas((k, v, t), jnp.int32(L), interpret=interp)
+        return post(mk, mv, mt)
+
+    return run
+
+
 def join_indices(
     build_keys: ArrowArrayBase, probe_keys: ArrowArrayBase
 ) -> Tuple[ArrowArrayBase, ArrowArrayBase, int]:
@@ -195,10 +436,50 @@ def join_indices(
             make_array(empty, None, 0, dt.ArrowType.UINT32, dev),
             0,
         )
+    import os
+
     spec = (
         int(build_keys.data.shape[0]), build_keys.length, build_keys.validity is not None,
         int(probe_keys.data.shape[0]), probe_keys.length, probe_keys.validity is not None,
     )
+    dev = probe_keys.device
+    mode = os.environ.get("ARROW_TPU_JOIN_EMIT", "auto")
+    nb_pad, np_pad = spec[0], spec[3]
+    use_merge = mode == "merge" or (
+        mode == "auto"
+        and jax.default_backend() == "tpu"
+        and (nb_pad + np_pad) % 8192 == 0
+    )
+    if use_merge:
+        plan = _join_plan_program(spec)
+        total, m_eff, sorder, ends_l, prow_l, lo_l = plan(
+            build_keys.data, build_keys.validity,
+            probe_keys.data, probe_keys.validity,
+        )
+        t = int(total)
+        if t == 0:
+            empty = jnp.zeros((0,), jnp.uint32)
+            return (
+                make_array(empty, None, 0, dt.ArrowType.UINT32, dev),
+                make_array(empty, None, 0, dt.ArrowType.UINT32, dev),
+                0,
+            )
+        if t < (1 << 31):
+            cap = max(_bucket(t), 8192)
+            pidx, bpos = _expand_program(cap)(
+                ends_l, prow_l, lo_l, m_eff, jnp.int32(t)
+            )
+            pidx, bidx = _rank_fill_program(cap, nb_pad)(bpos, pidx, sorder)
+            return (
+                make_array(
+                    pidx.astype(jnp.uint32), None, t, dt.ArrowType.UINT32, dev
+                ),
+                make_array(
+                    bidx.astype(jnp.uint32), None, t, dt.ArrowType.UINT32, dev
+                ),
+                t,
+            )
+        # t >= 2^31: fall through to the legacy i64 emit
     cp = _count_program(spec)
     total, cnt, offsets, lo, sorder = cp(
         build_keys.data, build_keys.validity, probe_keys.data, probe_keys.validity
@@ -207,7 +488,6 @@ def join_indices(
     cap = _bucket(t)
     ep = _emit_program(cap)
     probe_idx, build_idx = ep(cnt, offsets, lo, sorder, total)
-    dev = probe_keys.device
     return (
         make_array(probe_idx, None, t, dt.ArrowType.UINT32, dev),
         make_array(build_idx, None, t, dt.ArrowType.UINT32, dev),

@@ -52,7 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 LANES = 128
-GROUP_ROWS = 8  # rows per MXU matmul group (1024 elements)
+# rows per MXU matmul group (group_rows*128 elements per one-hot matmul):
+# measured on the v5e at 134M rows, 1K keys, nlimb=1 (round 4): 8 -> 1.36
+# Grows/s, 16 -> 1.91, 32 -> 2.30, 64 -> 2.68, 128 -> 2.97 — the kernel was
+# bound by per-group loop overhead, not one-hot construction
+GROUP_ROWS = 128
 
 #: "direct" = one-hot via bool->bf16 astype (2 ops per piece); "select" =
 #: r3's f32 where + convert (5 ops per piece, the Mosaic-safe fallback)
@@ -80,7 +84,7 @@ def nlimbs_for_bits(valbits: int) -> int:
 
 def _make_kernel(block: int, nlimb: int):
     subl = block // LANES
-    group_rows = _GR
+    group_rows = min(_GR, subl)  # small blocks (8192 rows) cap the group
     ngroups = subl // group_rows
 
     def kernel(nb_ref, len_ref, keys_hbm, vals_hbm, cnt_out, *rest):

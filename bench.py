@@ -60,7 +60,7 @@ CORE_METRICS = (
     "sort_u32_kv",
     "hash_agg_u32_1m_keys",
     "hash_agg_u32_1k_keys",
-    "hash_join_u64_count",
+    "hash_join_u64_full",
 )
 _FRACS: dict = {m: 1e-9 for m in CORE_METRICS}
 _DETAILS: dict = {}
@@ -345,15 +345,44 @@ def main():
     )
     del gkeys, gvals, dkeys, dvals, zkeys, wkeys
 
-    # ---- operator 4: hash join (u64 keys, count phase) --------------------
+    # ---- operator 4: hash join (u64 keys) ---------------------------------
     # u64 keys ride as 32-bit limb pairs (compute/join.py::probe_bounds):
     # emulated 64-bit comparators both run ~2x slower and crash some
     # deployment toolchains inside the timing loop
-    from arrow_tpu.compute.join import probe_bounds
+    from arrow_tpu.compute.join import join_indices, probe_bounds
 
     nj = n_op // 2
     bk = gen_u32(jax.random.key(6), nj, nj).astype(jnp.uint64)
     pk = gen_u32(jax.random.key(7), nj, nj).astype(jnp.uint64)
+
+    # CORE metric (r4, VERDICT #4): the FULL materialized join — count, emit,
+    # build-row resolution — through the library's join_indices (the r1-r3
+    # core metric timed only the count phase).  join_indices host-syncs the
+    # output size, so this is wall-clock over repeated warm calls (~1s+ ops
+    # vs ~ms dispatch noise).
+    from arrow_tpu.array.array import make_array
+    from arrow_tpu import dtypes as adt
+
+    def join_full():
+        ba = make_array(bk, None, nj, adt.ArrowType.UINT64, None)
+        pa = make_array(pk, None, nj, adt.ArrowType.UINT64, None)
+        pi, bi, t = join_indices(ba, pa)  # warm (compiles + caches)
+        jax.block_until_ready((pi.data, bi.data))
+        t0 = time.time()
+        reps = 2
+        for _ in range(reps):
+            pi, bi, _t = join_indices(ba, pa)
+            jax.block_until_ready((pi.data, bi.data))
+        record(
+            "hash_join_u64_full",
+            2 * nj,
+            (time.time() - t0) / reps,
+            2 * nj * 16,
+            core=True,
+        )
+        _DETAILS["hash_join_u64_full"]["output_rows"] = int(t)
+
+    safe("hash_join_u64_full", join_full)
 
     def join_step(p, b):
         ones = jnp.ones((nj,), bool)
@@ -368,7 +397,6 @@ def main():
             2 * nj,
             device_seconds_per_iter(join_step, (pk, bk)),
             2 * nj * 16,
-            core=True,
         ),
     )
 

@@ -310,3 +310,23 @@ def test_lex_sort():
     keys_d, _, _ = C.lex_sort([k1, k2], descending=True)
     assert keys_d[0].values() == [2, 2, 1, 1]
     assert keys_d[1].values() == [5, 3, 9, 7]
+
+
+def test_join_merge_emit_path(monkeypatch):
+    """The gather-free merge-expand emit (TPU fast path) against the legacy
+    emit, forced through interpret mode on a small case."""
+    monkeypatch.setenv("ARROW_TPU_JOIN_EMIT", "merge")
+    rng = np.random.default_rng(21)
+    bk = rng.integers(0, 40, 300).astype(np.uint64)
+    pk = rng.integers(0, 40, 500).astype(np.uint64)
+    pi, bi, t = C.join_indices(
+        at.UInt64Array.from_slice(bk), at.UInt64Array.from_slice(pk)
+    )
+    monkeypatch.setenv("ARROW_TPU_JOIN_EMIT", "legacy")
+    pi2, bi2, t2 = C.join_indices(
+        at.UInt64Array.from_slice(bk), at.UInt64Array.from_slice(pk)
+    )
+    assert t == t2
+    got = sorted(zip(pi.values(), bi.values()))
+    exp = sorted(zip(pi2.values(), bi2.values()))
+    assert got == exp
