@@ -260,6 +260,101 @@ def _mxu_path_eligible(keys, aggregations) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# partitioned region-MXU path: dense domains beyond 4096 (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _partition_by_class(planes, nbits: int):
+    """Stable LSB-first binary splits on key bits [12, 12+nbits): groups rows
+    by class = key>>12 (bit-reversed class order; each class contiguous).
+
+    planes[0] is the shifted key plane; every split routes ALL rows (two
+    block-compactions + a dynamic roll-combine: compact(bit=0) leaves zeros
+    past its count, roll(compact(bit=1), count0) wraps ITS zero tail to the
+    front — the sum is the exact concatenation)."""
+    from ..utils import bits as B
+    from .kernels.compaction3 import compact_multi_pallas
+
+    n = planes[0].shape[0]
+    use_pallas = jax.default_backend() == "tpu" and n % 8192 == 0
+
+    def split(planes, mask0):
+        if use_pallas:
+            o0, _, c0 = compact_multi_pallas(planes, (), B.pack_bits(mask0))
+            o1, _, _c1 = compact_multi_pallas(
+                planes, (), B.pack_bits(jnp.logical_not(mask0))
+            )
+            o0 = [o[:n] for o in o0]
+            o1 = [o[:n] for o in o1]
+        else:
+            from ..utils.scans import stable_partition
+
+            c0 = jnp.sum(mask0, dtype=jnp.int32)
+            live0 = lax.broadcasted_iota(jnp.int32, (n,), 0) < c0
+            o0 = [
+                jnp.where(live0, o, jnp.zeros_like(o))
+                for o in stable_partition(mask0, list(planes))
+            ]
+            c1 = jnp.int32(n) - c0
+            live1 = lax.broadcasted_iota(jnp.int32, (n,), 0) < c1
+            o1 = [
+                jnp.where(live1, o, jnp.zeros_like(o))
+                for o in stable_partition(jnp.logical_not(mask0), list(planes))
+            ]
+        return tuple(a + jnp.roll(b, c0) for a, b in zip(o0, o1))
+
+    for b in range(nbits):
+        bit = 12 + b
+        mask0 = ((planes[0] >> bit) & 1) == 0
+        planes = split(planes, mask0)
+    return planes
+
+
+@functools.lru_cache(maxsize=None)
+def _partition_groupby_program(spec: tuple):
+    """(n, length, dom_bits, nlimb) -> jitted (count, sums) over the dense
+    domain [0, 2^dom_bits) via partition + streaming region-MXU kernel.
+
+    Keys are shifted up one class (class 0 = garbage: padded rows and the
+    compactions' zero tails), split into class-contiguous order, aggregated
+    by `groupby_region_pallas`, and the garbage class dropped."""
+    (n, length, dom_bits, nlimbs) = spec  # nlimbs: tuple, one per val column
+    from .kernels.groupby_region import SLOTS as RSLOTS
+    from .kernels.groupby_region import groupby_region_pallas
+
+    # the split passes route ALL rows (counts sum to n), so garbage only
+    # exists when the buffer carries padding (length < n) — full buffers
+    # skip the shift and its extra split bit entirely
+    has_garbage = length < n
+    nclass = (1 << dom_bits) // RSLOTS + (1 if has_garbage else 0)
+    nbits = max(1, (nclass - 1).bit_length())
+
+    def run(key_data, *val_bufs):
+        keyp = key_data.astype(jnp.int32)
+        if has_garbage:
+            live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+            keyp = jnp.where(live, keyp + jnp.int32(RSLOTS), jnp.int32(0))
+        planes = _partition_by_class(
+            (keyp, *[v.astype(jnp.int32) for v in val_bufs]), nbits
+        )
+        kp = planes[0]
+        vps = planes[1:] or (jnp.zeros_like(kp),)
+        cnt = None
+        sums = []
+        for vi, vp in enumerate(vps):
+            nlimb = nlimbs[vi] if vi < len(nlimbs) else 1
+            c, tot = groupby_region_pallas(kp, vp, nlimb=nlimb, nclass=nclass)
+            cnt = c if cnt is None else cnt
+            sums.append(tot)
+        if has_garbage:
+            cnt = cnt[RSLOTS:]
+            sums = [s[RSLOTS:] for s in sums]
+        return cnt, *sums
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=None)
 def _range_check_program(nvals: int):
     def run(keys, *vals):
@@ -350,6 +445,81 @@ def _hash_aggregate_mxu(keys, aggregations, key_domain=None, value_bits=None):
     return RecordBatch(cols)
 
 
+def _hash_aggregate_partition(keys, aggregations, key_domain=None, value_bits=None):
+    """Dense-domain partitioned fast path for domains (4096, 2^22]:
+    class-split via block compactions + streaming region-MXU kernel
+    (`kernels/groupby_region.py`).  Returns None when the ranges disqualify
+    it (caller falls back to the sort path)."""
+    from .kernels.groupby_mxu import nlimbs_for_bits
+    from .kernels.groupby_region import SLOTS as RSLOTS
+
+    val_cols = []
+    col_ids = {}
+    for _name, col, _kind in aggregations:
+        if col is not None and id(col) not in col_ids:
+            col_ids[id(col)] = len(val_cols)
+            val_cols.append(col)
+    if key_domain is not None:
+        lo, hi = key_domain
+        if lo < 0 or hi <= RSLOTS or hi > (1 << 22):
+            return None
+        kmax = hi - 1
+        vmaxes = [(1 << (value_bits or 32)) - 1] * len(val_cols)
+    else:
+        rng = _range_check_program(len(val_cols))(
+            keys.data, *[c.data for c in val_cols]
+        )
+        kmin, kmax = int(rng[0]), int(rng[1])
+        vmaxes = [int(v) for v in rng[2 : 2 + len(val_cols)]]
+        vmins = [int(v) for v in rng[2 + len(val_cols) :]]
+        if kmin < 0 or kmax < RSLOTS or kmax >= (1 << 22) or any(
+            v < 0 for v in vmins
+        ):
+            return None
+    dom_bits = max(kmax, 1).bit_length()
+    n = int(keys.data.shape[0])
+    nlimbs = tuple(
+        nlimbs_for_bits(max(vmaxes[ci], 1).bit_length())
+        for ci in range(len(val_cols))
+    )
+    prog = _partition_groupby_program((n, keys.length, dom_bits, nlimbs or (1,)))
+    outs = prog(keys.data, *[c.data for c in val_cols])
+    count, sums_list = outs[0], outs[1:]
+    sums = {id(col): sums_list[ci] for ci, col in enumerate(val_cols)}
+
+    D = 1 << dom_bits
+    occupied = count > 0
+    num_groups = int(jnp.sum(occupied))
+    order = jnp.nonzero(occupied, size=D, fill_value=0)[0]
+    device = keys.device
+
+    from ..array.array import pad_len
+
+    live = lax.broadcasted_iota(jnp.int32, (D,), 0) < num_groups
+
+    def _wrap(buf, dtype):
+        buf = jnp.where(live, buf, jnp.zeros_like(buf))
+        buf = jnp.pad(buf, (0, pad_len(D) - D))
+        return make_array(buf, None, num_groups, dtype, device)
+
+    out_keys = order.astype(dt.info(keys.dtype).numpy)
+    cols: Dict[str, ArrowArrayBase] = {"key": _wrap(out_keys, keys.dtype)}
+    cnt_g = count[order].astype(jnp.int64)
+    for name, col, kind in aggregations:
+        if kind == "count":
+            cols[name] = _wrap(cnt_g, dt.ArrowType.INT64)
+        elif kind == "mean":
+            s = sums[id(col)][order].astype(jnp.float64)
+            cols[name] = _wrap(
+                s / jnp.maximum(cnt_g, 1).astype(jnp.float64),
+                dt.ArrowType.FLOAT64,
+            )
+        else:
+            s = sums[id(col)][order].astype(dt.info(col.dtype).numpy)
+            cols[name] = _wrap(s, col.dtype)
+    return RecordBatch(cols)
+
+
 def hash_aggregate(
     keys: ArrowArrayBase,
     aggregations: Sequence[Tuple[str, Optional[ArrowArrayBase], str]],
@@ -364,13 +534,15 @@ def hash_aggregate(
     per aggregation; group order = ascending key order.
 
     method: "mxu" = the one-hot MXU kernel for dense keys in [0, 4096) with
-    non-negative integer values (kernels/groupby_mxu.py; ~6x the sort path at 134M);
-    "sort" = the sort+segmented-scan program (any keys/values/nulls);
-    "auto" = mxu when eligible, else sort.
+    non-negative integer values (kernels/groupby_mxu.py; ~15x the sort path at
+    134M); "partition" = class-split + streaming region-MXU kernel for dense
+    domains (4096, 2^22] (kernels/groupby_region.py; ~2x the sort path at 1M
+    keys); "sort" = the sort+segmented-scan program (any keys/values/nulls);
+    "auto" = mxu, else partition, else sort.
 
     key_domain=(lo, hi): caller guarantee that keys lie in [lo, hi) and
     values are non-negative (value_bits = max value bit width) — skips the
-    device range check and its host syncs on the mxu path.
+    device range check and its host syncs on the mxu/partition paths.
     """
     if not dt.is_integer(keys.dtype) and keys.dtype is not dt.ArrowType.DATE32:
         raise OperationNotSupported(f"group-by key dtype {keys.dtype.value} unsupported")
@@ -382,6 +554,15 @@ def hash_aggregate(
         raise OperationNotSupported(
             "mxu groupby requires dense keys in [0, 4096), non-negative "
             "integer values and no nulls"
+        )
+    if method in ("auto", "partition") and _mxu_path_eligible(keys, aggregations):
+        out = _hash_aggregate_partition(keys, aggregations, key_domain, value_bits)
+        if out is not None:
+            return out
+    if method == "partition":
+        raise OperationNotSupported(
+            "partition groupby requires dense keys in (4096, 2^22], "
+            "non-negative integer values and no nulls"
         )
     agg_spec = []
     val_bufs: List = []

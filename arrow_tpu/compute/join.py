@@ -237,7 +237,7 @@ def _join_plan_program(spec: tuple):
     """Co-sorted plan: ONE sort of concat(build, probe) keyed by limbs with a
     single tagged-row-id payload; returns the key-ordered build row-id list
     (sorder) and the non-empty probe run list (end, probe_row, lo)."""
-    (nb, lb, bv, np_, lp, pv) = spec
+    (nb, lb, bv, np_, lp, pv, narrow) = spec
 
     def run(bkeys, bvalidity, pkeys, pvalidity):
         from ..utils.scans import prefix_sum, shift_cummax, sort_limbs
@@ -245,6 +245,11 @@ def _join_plan_program(spec: tuple):
         bvalid = _valid_mask(bkeys, bvalidity, lb)
         pvalid = _valid_mask(pkeys, pvalidity, lp)
         tot = nb + np_
+        if narrow:
+            # adaptive key narrowing: caller verified every key < 2^32 (and
+            # non-negative), so the co-sort runs on ONE u32 limb
+            bkeys = bkeys.astype(jnp.uint32)
+            pkeys = pkeys.astype(jnp.uint32)
         keys = [
             jnp.concatenate([b, p])
             for b, p in zip(sort_limbs(bkeys), sort_limbs(pkeys))
@@ -257,7 +262,9 @@ def _join_plan_program(spec: tuple):
         ]
         sorig = lax.broadcasted_iota(jnp.int32, (tot,), 0)
         sorig = jnp.where(valid_all, sorig, jnp.int32(tot))
-        out = lax.sort([*keys, sorig], num_keys=len(keys), is_stable=True)
+        # stability is irrelevant: segment bounds come from key boundaries
+        # and any within-key order yields the same pair SET
+        out = lax.sort([*keys, sorig], num_keys=len(keys), is_stable=False)
         skeys, so = out[:-1], out[-1]
         isb = (so < nb).astype(jnp.int32)
         isp = jnp.logical_and(so >= nb, so < tot)
@@ -451,7 +458,23 @@ def join_indices(
         and (nb_pad + np_pad) % 8192 == 0
     )
     if use_merge:
-        plan = _join_plan_program(spec)
+        # adaptive key narrowing (a la DuckDB): 64-bit keys whose observed
+        # range fits u32 co-sort on one limb (~25% cheaper plan sort); the
+        # range check is two tiny reductions + one host sync, only worth it
+        # at scale
+        narrow = False
+        if (
+            dt.item_size(build_keys.dtype) == 8
+            and nb_pad + np_pad >= (1 << 22)
+        ):
+            # the u64 view makes negatives huge, so signed keys with any
+            # negative value never narrow; null/padded rows hold zeros
+            mx = jnp.maximum(
+                jnp.max(build_keys.data.astype(jnp.uint64)),
+                jnp.max(probe_keys.data.astype(jnp.uint64)),
+            )
+            narrow = bool(mx < (1 << 32))
+        plan = _join_plan_program(spec + (narrow,))
         total, m_eff, sorder, ends_l, prow_l, lo_l = plan(
             build_keys.data, build_keys.validity,
             probe_keys.data, probe_keys.validity,

@@ -286,7 +286,11 @@ def _make_kernel(block: int, nv: int, nw: int):
                     )
                     for p in range(np_)
                 ]
-                # phase 2: row-granular hole filling (1-op full-row rolls)
+                # phase 2: row-granular hole filling (1-op full-row rolls).
+                # Static unroll: a dynamic-trip-count fori with dynamic roll
+                # amounts was measured 1.5x SLOWER on the v5e (8.1 vs 12.3
+                # Grows/s at sel50 — the per-stage dynamic rolls and loop
+                # overhead cost more than the skipped stages saved)
                 for st in range(nbits_row):
                     bit = 1 << st
                     nxt_rem = _flat_roll_left(rem, bit * LANES)

@@ -539,10 +539,14 @@ def _fused_join_program(
     bspec: tuple, pspec: tuple,
 ):
     """ONE program: build-side exchange + probe-side exchange + local join +
-    payload gather.  XLA's async collective scheduler overlaps each side's
-    all-to-all with the other side's route sort and the build-side key sort —
-    the XLA-native form of the BASELINE "double-buffered exchange overlapping
-    probe compute"."""
+    payload gather, giving XLA's scheduler BOTH sides' all-to-alls and sorts
+    to interleave — the XLA-native form of the BASELINE "double-buffered
+    exchange overlapping probe compute".  Measured (tools/overlap_ab.py,
+    round 4): fused beats composed by 1.05x on the 8-virtual-device CPU mesh
+    (where the collectives are real HLO all-to-alls) and is a 0.96x wash on
+    a single real chip (nothing to overlap); true ICI-scale overlap remains
+    unmeasurable without multi-chip hardware — OVERLAP_AB*.json hold the A/B
+    numbers and per-kernel device-time traces."""
     from ..parallel.shuffle import shuffle_shard_local
 
     mesh = _MESHES[mesh_key]

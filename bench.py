@@ -262,21 +262,37 @@ def main():
     gkeys = gen_u32(jax.random.key(4), n_op, 1 << 20)
     gvals = gen_u32(jax.random.key(5), n_op, 200).astype(jnp.int32)
 
-    from arrow_tpu.compute.hash_aggregate import _groupby_program
+    # the library's dense-domain PARTITION path (r4): class-split via block
+    # compactions + streaming region-MXU kernel — what hash_aggregate's auto
+    # routing picks for a 2^20 domain (key_domain pipeline form)
+    from arrow_tpu.compute.hash_aggregate import (
+        _groupby_program,
+        _partition_groupby_program,
+    )
 
     gprog = _groupby_program(
         (
             n_op,
             n_op,
             False,
-            False,  # lax.sort grouping (merge kernel measured slower at 128M)
+            False,
             (("sum", "int32", False), ("count_all", "", False)),
         )
     )
 
-    def agg_step(k, v):
+    def agg_step_sort(k, v):
         _ng, gkey, _gsum, _gcnt = gprog(k, None, v)
         return k ^ (gkey[0] & jnp.uint32(1)), v
+
+    if jax.default_backend() == "tpu":
+        pprog = _partition_groupby_program((n_op, n_op, 20, (1,)))
+
+        def agg_step(k, v):  # dense 2^20 domains: 1M-key + skew configs
+            cnt, _tot = pprog(k, v)
+            return k ^ (cnt[0] & 1).astype(jnp.uint32), v
+
+    else:
+        agg_step = agg_step_sort
 
     safe(
         "hash_agg_u32_1m_keys",
@@ -334,12 +350,14 @@ def main():
         ),
     )
     wkeys = gen_u32(jax.random.key(13), n_op, 1 << 31)  # ~100M distinct
+    # 2^31 domain exceeds the partition path's gate: the library routes it
+    # to the sort program
     safe(
         "hash_agg_u32_100m_keys",
         lambda: record(
             "hash_agg_u32_100m_keys",
             n_op,
-            device_seconds_per_iter(agg_step, (wkeys, gvals)),
+            device_seconds_per_iter(agg_step_sort, (wkeys, gvals)),
             n_op * 16,
         ),
     )

@@ -137,3 +137,46 @@ def test_sort_path_dense_no_padding():
     np.testing.assert_array_equal(
         np.asarray(out["c"].raw_values(), np.int64), np.bincount(keys_np)[uk]
     )
+
+
+def test_partition_groupby_matches_sort():
+    """Dense domains beyond 4096 route through the class-partition +
+    region-MXU path; exact vs the sort path (incl. padded buffers)."""
+    import arrow_tpu as at
+    from arrow_tpu.compute.hash_aggregate import hash_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 20000  # pads to 24576: exercises the garbage-class shift
+    keys = rng.integers(0, 50000, n).astype(np.uint32)
+    vals = rng.integers(0, 250, n).astype(np.int32)
+    ka = at.UInt32Array.from_slice(keys)
+    va = at.Int32Array.from_slice(vals)
+    aggs = [("s", va, "sum"), ("c", None, "count"), ("m", va, "mean")]
+    got = hash_aggregate(ka, aggs, method="partition").to_pydict()
+    exp = hash_aggregate(ka, aggs, method="sort").to_pydict()
+    assert got["key"] == exp["key"]
+    assert got["c"] == exp["c"]
+    assert got["s"] == exp["s"]
+    np.testing.assert_allclose(got["m"], exp["m"], rtol=1e-12)
+
+
+def test_partition_groupby_skewed_classes():
+    """Heavy skew: most rows in one class, many empty classes, and chunks
+    spanning several classes (the kernel's per-run while loop)."""
+    import arrow_tpu as at
+    from arrow_tpu.compute.hash_aggregate import hash_aggregate
+
+    rng = np.random.default_rng(8)
+    n = 16384
+    # ~80% of rows on 3 keys in class 0, the rest sprayed over 2^18
+    hot = rng.choice([5, 77, 4000], int(n * 0.8))
+    cold = rng.integers(0, 1 << 18, n - hot.shape[0])
+    keys = np.concatenate([hot, cold]).astype(np.uint32)
+    rng.shuffle(keys)
+    vals = rng.integers(0, 200, n).astype(np.int32)
+    ka = at.UInt32Array.from_slice(keys)
+    va = at.Int32Array.from_slice(vals)
+    aggs = [("s", va, "sum"), ("c", None, "count")]
+    got = hash_aggregate(ka, aggs, method="partition", key_domain=(0, 1 << 18), value_bits=8).to_pydict()
+    exp = hash_aggregate(ka, aggs, method="sort").to_pydict()
+    assert got == exp
