@@ -41,11 +41,14 @@ def _chained_program(fn: Callable, k: int):
 def _run_once(prog, args) -> float:
     t0 = time.perf_counter()
     out = prog(args)
-    # force completion with ONE tiny readback: an XLA program's outputs are
-    # only available once the whole program finished, so the first leaf
-    # suffices (per-leaf readbacks each pay a full dispatch-path roundtrip)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[:1])
+    # force completion with tiny readbacks of EVERY leaf: reading only the
+    # first leaf under-measures when that leaf is a pass-through of an input
+    # (XLA aliases the buffer, so its data is available before the program
+    # finishes — round-4 rehearsal "measured" a reduction at 325% of the
+    # HBM roofline this way).  The extra per-leaf roundtrips are a constant
+    # the two-K slope cancels.
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf.ravel()[:1])
     return time.perf_counter() - t0
 
 

@@ -475,10 +475,13 @@ def main():
     # pure reduction: carry (y, acc) so each iteration reads y ONCE and the
     # array is never re-materialized (the r1-r3 formulation re-broadcast y
     # every iteration, so the metric measured 3x the algorithmic traffic and
-    # under-reported the kernel by ~2x); the optimization barrier between
-    # iterations keeps the sums non-CSE-able
+    # under-reported the kernel by ~2x).  The xor by an acc-derived scalar
+    # fuses into the reduction (still one read pass, nothing materialized)
+    # and makes each iteration's sum depend on the previous one — XLA's LICM
+    # hoisted a plain sum(y) straight through the optimization barrier
+    # (rehearsal measured an impossible 178% of roofline)
     def sum_step(y, acc):
-        return y, acc + jnp.sum(y, dtype=jnp.uint32)
+        return y, acc + jnp.sum(y ^ (acc & jnp.uint32(1)), dtype=jnp.uint32)
 
     acc0 = jnp.zeros((), jnp.uint32)
     safe(
