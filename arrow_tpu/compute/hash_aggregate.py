@@ -269,22 +269,20 @@ def _partition_by_class(planes, nbits: int):
     """Stable LSB-first binary splits on key bits [12, 12+nbits): groups rows
     by class = key>>12 (bit-reversed class order; each class contiguous).
 
-    planes[0] is the shifted key plane; every split routes ALL rows (two
-    block-compactions + a dynamic roll-combine: compact(bit=0) leaves zeros
-    past its count, roll(compact(bit=1), count0) wraps ITS zero tail to the
-    front — the sum is the exact concatenation)."""
+    planes[0] is the shifted key plane; every split routes ALL rows (ONE
+    dual-output split kernel reading the input once + a dynamic
+    roll-combine: the sel side leaves zeros past its count, roll(unsel
+    side, count0) wraps ITS zero tail to the front — the sum is the exact
+    concatenation)."""
     from ..utils import bits as B
-    from .kernels.compaction3 import compact_multi_pallas
+    from .kernels.compaction3 import split_multi_pallas
 
     n = planes[0].shape[0]
     use_pallas = jax.default_backend() == "tpu" and n % 8192 == 0
 
     def split(planes, mask0):
         if use_pallas:
-            o0, _, c0 = compact_multi_pallas(planes, (), B.pack_bits(mask0))
-            o1, _, _c1 = compact_multi_pallas(
-                planes, (), B.pack_bits(jnp.logical_not(mask0))
-            )
+            o0, o1, c0 = split_multi_pallas(planes, B.pack_bits(mask0))
             o0 = [o[:n] for o in o0]
             o1 = [o[:n] for o in o1]
         else:

@@ -486,3 +486,327 @@ def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = 
     )(*args)
     outs = [o.reshape(-1) for o in outs]
     return tuple(outs[:nv]), tuple(outs[nv:]), count
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional split: BOTH compactions (mask and its complement) from ONE
+# input read (round 4).  The partition aggregate's class splits previously
+# ran compact_multi twice per bit — two full reads of the data planes; this
+# kernel shares the read, the mask unpack, and the MXU rank matmuls, and
+# runs the v4 gather+row-network move once per side into separate outputs.
+# ---------------------------------------------------------------------------
+
+
+def _make_split_kernel(block: int, nv: int):
+    subl = block // LANES
+    wr_rows = block // 4096
+    win = block + TILE
+    subw = win // LANES
+    nbits_row = (subw - 1).bit_length()
+
+    def kernel(nb_ref, *refs):
+        # refs: v_hbm[nv], mask_hbm | outS[nv], outU[nv] |
+        #   dbuf[nv] (2, subl, L), mbuf (2, wr_rows, L),
+        #   winS[nv] (NSLOT+1, subw, L), winU[nv],
+        #   sem_d (2, nv), sem_m (2,), sem_wS (NSLOT, nv), sem_wU (NSLOT, nv),
+        #   sem_z (2, 2*nv)
+        k = 0
+        v_hbm = refs[k : k + nv]; k += nv
+        mask_hbm = refs[k]; k += 1
+        outS = refs[k : k + nv]; k += nv
+        outU = refs[k : k + nv]; k += nv
+        dbuf = refs[k : k + nv]; k += nv
+        mbuf = refs[k]; k += 1
+        winS = refs[k : k + nv]; k += nv
+        winU = refs[k : k + nv]; k += nv
+        sem_d = refs[k]; k += 1
+        sem_m = refs[k]; k += 1
+        sem_wS = refs[k]; k += 1
+        sem_wU = refs[k]; k += 1
+        sem_z = refs[k]
+
+        n_blocks = nb_ref[0]
+        ii = lax.broadcasted_iota
+        t128 = (
+            (ii(jnp.int32, (LANES, LANES), 0) <= ii(jnp.int32, (LANES, LANES), 1))
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        ones128 = jnp.ones((LANES, LANES), jnp.bfloat16)
+        lstrict = (
+            (ii(jnp.int32, (subl, subl), 1) < ii(jnp.int32, (subl, subl), 0))
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        widx8 = ii(jnp.int32, (HEADR, LANES), 0) * LANES + ii(
+            jnp.int32, (HEADR, LANES), 1
+        )
+        lane_b = ii(jnp.int32, (subl, LANES), 1)
+        row_b = ii(jnp.int32, (subl, LANES), 0)
+        iw = ii(jnp.int32, (subw, LANES), 0) * LANES + ii(
+            jnp.int32, (subw, LANES), 1
+        )
+
+        def rd_v(i, p):
+            m = lax.rem(i, jnp.int32(2))
+            row0 = pl.multiple_of(i * jnp.int32(subl), subl)
+            return pltpu.make_async_copy(
+                v_hbm[p].at[pl.ds(row0, subl), :],
+                dbuf[p].at[m],
+                sem_d.at[m, jnp.int32(p)],
+            )
+
+        def rd_m(i):
+            m = lax.rem(i, jnp.int32(2))
+            wrow0 = pl.multiple_of(i * jnp.int32(wr_rows), wr_rows)
+            return pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(wrow0, wr_rows), :], mbuf.at[m], sem_m.at[m]
+            )
+
+        def start_reads(i):
+            for p in range(nv):
+                rd_v(i, p).start()
+            rd_m(i).start()
+
+        def wr(winb, outs, sem_wr, i, off, p):
+            s = lax.rem(i, jnp.int32(NSLOT))
+            aligned_row = pl.multiple_of(
+                lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            return pltpu.make_async_copy(
+                winb[p].at[s],
+                outs[p].at[pl.ds(aligned_row, subw), :],
+                sem_wr.at[s, jnp.int32(p)],
+            )
+
+        start_reads(jnp.int32(0))
+        for p in range(nv):
+            winS[p][ZSLOT] = jnp.zeros((subw, LANES), jnp.int32)
+            winU[p][ZSLOT] = jnp.zeros((subw, LANES), jnp.int32)
+
+        def side_move(i, m, s, sp, off, off_prev, C, rowoff_i, cntb,
+                      winb, outs, sem_wr):
+            """One v4 gather+row-network compaction of this block's rows
+            against inclusive per-row ranks C (sorted per row)."""
+            aligned_row = pl.multiple_of(
+                lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            ar_prev = pl.multiple_of(
+                lax.div(off_prev, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            shift = off - aligned_row * jnp.int32(LANES)
+            delta = pl.multiple_of(aligned_row - ar_prev, HEADR)
+            pheads = [winb[p][sp, pl.ds(delta, HEADR), :] for p in range(nv)]
+
+            base = shift + rowoff_i
+            jp = (lane_b - base) & jnp.int32(127)
+            pos = jnp.zeros((subl, LANES), jnp.int32)
+            for kk in (64, 32, 16, 8, 4, 2, 1):
+                cval = taa_lanes(C, pos + jnp.int32(kk - 1))
+                pos = pos + jnp.where(cval <= jp, jnp.int32(kk), jnp.int32(0))
+            src = jnp.minimum(pos, jnp.int32(127))
+            live = jp < cntb
+            destrow = (base + jp) >> jnp.int32(7)
+            drow = row_b + jnp.int32(HEADR) - destrow
+            rem_b = jnp.where(live, drow, jnp.zeros_like(drow))
+
+            cur = [
+                jnp.concatenate(
+                    [winb[p][s, :HEADR, :], taa_lanes(dbuf[p][m], src)], axis=0
+                )
+                for p in range(nv)
+            ]
+            rem = jnp.concatenate(
+                [jnp.zeros((HEADR, LANES), jnp.int32), rem_b], axis=0
+            )
+            for st in range(nbits_row):
+                bit = 1 << st
+                nxt_rem = _flat_roll_left(rem, bit * LANES)
+                moved_in = ((nxt_rem >> st) & 1) == 1
+                my_move = ((rem >> st) & 1) == 1
+                cur = [
+                    jnp.where(moved_in, _flat_roll_left(c, bit * LANES), c)
+                    for c in cur
+                ]
+                rem = jnp.where(
+                    moved_in,
+                    nxt_rem - bit,
+                    jnp.where(my_move, jnp.zeros_like(rem), rem),
+                )
+
+            take_prev = widx8 < shift
+            for p in range(nv):
+                head = jnp.where(take_prev, pheads[p], cur[p][:HEADR, :])
+                winb[p][s] = jnp.concatenate([head, cur[p][HEADR:, :]], axis=0)
+
+            @pl.when(i > 0)
+            def _():
+                for p in range(nv):
+                    wr(winb, outs, sem_wr, i - 1, off_prev, p).wait()
+
+            for p in range(nv):
+                wr(winb, outs, sem_wr, i, off, p).start()
+
+        def body(i, state):
+            offS, offS_prev, offU, offU_prev = state
+            s = lax.rem(i, jnp.int32(NSLOT))
+            sp = lax.rem(i + jnp.int32(NSLOT - 1), jnp.int32(NSLOT))
+            m = lax.rem(i, jnp.int32(2))
+
+            rd_m(i).wait()
+            sel = _unpack_block(mbuf[m].astype(jnp.uint32), subl)
+            self16 = sel.astype(jnp.float32).astype(jnp.bfloat16)
+            within = jnp.dot(self16, t128, preferred_element_type=jnp.float32)
+            rowsum = jnp.dot(self16, ones128, preferred_element_type=jnp.float32)
+            rowoff = jnp.dot(
+                lstrict, rowsum.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            cnt = jnp.sum(self16.astype(jnp.float32)).astype(jnp.int32)
+            Ci = within.astype(jnp.int32)
+            cntb = rowsum.astype(jnp.int32)
+            rowoff_i = rowoff.astype(jnp.int32)
+            # complement side: inclusive unselected ranks / counts / offsets
+            Cu = (lane_b + jnp.int32(1)) - Ci
+            cntb_u = jnp.int32(LANES) - cntb
+            rowoff_u = row_b * jnp.int32(LANES) - rowoff_i
+
+            for p in range(nv):
+                rd_v(i, p).wait()
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start_reads(i + 1)
+
+            side_move(i, m, s, sp, offS, offS_prev, Ci, rowoff_i, cntb,
+                      winS, outS, sem_wS)
+            side_move(i, m, s, sp, offU, offU_prev, Cu, rowoff_u, cntb_u,
+                      winU, outU, sem_wU)
+            cnt_u = jnp.int32(block) - cnt
+            return offS + cnt, offS, offU + cnt_u, offU
+
+        offS, offS_prev, offU, offU_prev = lax.fori_loop(
+            jnp.int32(0), n_blocks, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        )
+        for p in range(nv):
+            wr(winS, outS, sem_wS, n_blocks - 1, offS_prev, p).wait()
+            wr(winU, outU, sem_wU, n_blocks - 1, offU_prev, p).wait()
+
+        # ---- tail-zero epilogue, per side --------------------------------
+        def epilogue(winb, outs, sem_wr, off, off_prev, zoff):
+            ar_last = lax.div(off_prev, jnp.int32(TILE)) * jnp.int32(HEADR)
+            dead = (ar_last * jnp.int32(LANES) + iw) >= off
+            s_last = lax.rem(n_blocks - 1, jnp.int32(NSLOT))
+            for slot in range(NSLOT):
+                @pl.when(jnp.int32(slot) == s_last)
+                def _():
+                    for p in range(nv):
+                        winb[p][slot] = jnp.where(
+                            dead,
+                            jnp.zeros((subw, LANES), jnp.int32),
+                            winb[p][slot],
+                        )
+            for p in range(nv):
+                wr(winb, outs, sem_wr, n_blocks - 1, off_prev, p).start()
+            for p in range(nv):
+                wr(winb, outs, sem_wr, n_blocks - 1, off_prev, p).wait()
+
+            def wrz(j, par, p):
+                row0 = pl.multiple_of(z0 + j * jnp.int32(subw), HEADR)
+                return pltpu.make_async_copy(
+                    winb[p].at[jnp.int32(ZSLOT)],
+                    outs[p].at[pl.ds(row0, subw), :],
+                    sem_z.at[par, jnp.int32(zoff + p)],
+                )
+
+            z0 = ar_last + jnp.int32(subw)
+            r_base = n_blocks * jnp.int32(subl) + jnp.int32(subw)
+            nz = lax.div(r_base - z0 + jnp.int32(subw - 1), jnp.int32(subw))
+
+            def zbody(j, c):
+                par = lax.rem(j, jnp.int32(2))
+
+                @pl.when(j >= 2)
+                def _():
+                    for p in range(nv):
+                        wrz(j - 2, par, p).wait()
+
+                for p in range(nv):
+                    wrz(j, par, p).start()
+                return c
+
+            lax.fori_loop(jnp.int32(0), nz, zbody, jnp.int32(0))
+
+            def zdrain(j, c):
+                for p in range(nv):
+                    wrz(j, lax.rem(j, jnp.int32(2)), p).wait()
+                return c
+
+            lax.fori_loop(
+                jnp.maximum(nz - 2, jnp.int32(0)), nz, zdrain, jnp.int32(0)
+            )
+
+        epilogue(winS, outS, sem_wS, offS, offS_prev, 0)
+        epilogue(winU, outU, sem_wU, offU, offU_prev, nv)
+
+    return kernel, subw, win
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def split_multi_pallas(vplanes, mask_words, interpret: bool | None = None):
+    """Stable binary split: (selected-front planes, unselected-front planes,
+    count) from ONE read of the input.
+
+    vplanes: tuple of (n,) 32-bit arrays; mask_words: (n/32,) u32 LSB-first
+    selection words (bits >= n MUST be zero); n % 8192 == 0.  Returns
+    (sel_outs, unsel_outs, count): each out has the compact_multi capacity
+    with its rows dense at the front and rows [count, n) zeroed (capacity
+    slack beyond n is unspecified, as in compact_multi — callers slice).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    vplanes = tuple(vplanes)
+    nv = len(vplanes)
+    assert 1 <= nv <= 8
+    n = vplanes[0].shape[0]
+    block = _pick_block(n)
+    nb = n // block
+    kernel, subw, win = _make_split_kernel(block, nv)
+    wr_rows = block // 4096
+
+    count = jnp.sum(lax.population_count(mask_words), dtype=jnp.int32)
+
+    scratch = [pltpu.VMEM((2, block // LANES, LANES), jnp.int32) for _ in range(nv)]
+    scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
+    scratch += [
+        pltpu.VMEM((NSLOT + 1, subw, LANES), jnp.int32) for _ in range(2 * nv)
+    ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, nv)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((NSLOT, nv)),
+        pltpu.SemaphoreType.DMA((NSLOT, nv)),
+        pltpu.SemaphoreType.DMA((2, 2 * nv)),
+    ]
+    out_rows = (n + win) // LANES + subw
+    out_shapes = [
+        jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32) for _ in range(2 * nv)
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (nv + 1),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * nv),
+        scratch_shapes=scratch,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.full((1,), nb, jnp.int32),
+        *[lax.bitcast_convert_type(v, jnp.int32) if v.dtype != jnp.int32 else v
+          for v in [v.reshape(-1, LANES) for v in vplanes]],
+        mask_words.reshape(-1, LANES),
+    )
+    outs = [o.reshape(-1) for o in outs]
+    return tuple(outs[:nv]), tuple(outs[nv:]), count

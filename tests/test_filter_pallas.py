@@ -141,3 +141,29 @@ def test_value_planes_zero_padded():
     out64 = ac.filter(a64, _mask(mask), method="pallas")
     buf64 = np.asarray(out64.data)
     assert (buf64[len(out64):] == 0).all()
+
+
+@pytest.mark.parametrize("sel_p", [0.0, 0.03, 0.5, 0.97, 1.0])
+def test_split_multi_pallas(sel_p):
+    """Dual-output split: both compactions from one read (round 4)."""
+    import jax.numpy as jnp
+
+    from arrow_tpu.compute.kernels.compaction3 import split_multi_pallas
+    from arrow_tpu.utils import bits as B
+
+    rng = np.random.default_rng(int(sel_p * 100) + 3)
+    n = 16384
+    a = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    b = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    mask = rng.random(n) < sel_p
+    mw = B.pack_bits_np(mask, n // 32)
+    (sa, sb), (ua, ub), cnt = split_multi_pallas(
+        (jnp.asarray(a), jnp.asarray(b)), jnp.asarray(mw)
+    )
+    c = int(cnt)
+    assert c == mask.sum()
+    np.testing.assert_array_equal(np.asarray(sa)[:c], a[mask])
+    np.testing.assert_array_equal(np.asarray(sb)[:c], b[mask])
+    np.testing.assert_array_equal(np.asarray(ua)[: n - c], a[~mask])
+    np.testing.assert_array_equal(np.asarray(ub)[: n - c], b[~mask])
+    assert not np.asarray(sa)[c:n].any() and not np.asarray(ua)[n - c : n].any()
