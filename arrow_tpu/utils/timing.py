@@ -60,7 +60,13 @@ def device_seconds_per_iter(
     repeats: int = 2,
 ) -> float:
     """Median device-seconds per application of `fn` (shape-preserving pytree->
-    pytree)."""
+    pytree).
+
+    Robust to transient dispatch-path stalls (observed: multi-second hiccups
+    on single timings that drove slopes negative or 2x off): samples slopes
+    until at least max(repeats, 3) are POSITIVE and the best pair agrees
+    within 30%, up to 6 samples, and returns the median of the positives.
+    """
     args = args if isinstance(args, tuple) else (args,)
     k_lo, k_hi = int(k_lo), int(k_hi)
     lo = _chained_program(fn, k_lo)
@@ -75,9 +81,17 @@ def device_seconds_per_iter(
                 if attempt == 2:
                     raise
                 time.sleep(2.0)
-    slopes = []
-    for _ in range(repeats):
+    want = max(int(repeats), 3)
+    slopes: list = []
+    for _ in range(6):
         t_lo = _run_once(lo, args)
         t_hi = _run_once(hi, args)
         slopes.append((t_hi - t_lo) / (k_hi - k_lo))
-    return max(float(np.median(slopes)), 1e-9)
+        pos = sorted(s for s in slopes if s > 0)
+        if len(pos) >= want:
+            # accept once the two closest samples agree within 30%
+            gaps = [b / a for a, b in zip(pos, pos[1:])]
+            if gaps and min(gaps) < 1.3:
+                break
+    pos = [s for s in slopes if s > 0]
+    return max(float(np.median(pos or slopes)), 1e-9)

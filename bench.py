@@ -475,13 +475,16 @@ def main():
     # pure reduction: carry (y, acc) so each iteration reads y ONCE and the
     # array is never re-materialized (the r1-r3 formulation re-broadcast y
     # every iteration, so the metric measured 3x the algorithmic traffic and
-    # under-reported the kernel by ~2x).  The xor by an acc-derived scalar
-    # fuses into the reduction (still one read pass, nothing materialized)
-    # and makes each iteration's sum depend on the previous one — XLA's LICM
-    # hoisted a plain sum(y) straight through the optimization barrier
-    # (rehearsal measured an impossible 178% of roofline)
+    # under-reported the kernel by ~2x).  The xor by the FULL accumulator
+    # fuses into the reduction (one read pass, nothing materialized) and is
+    # not hoistable/enumerable — LICM defeated both a plain sum(y) (through
+    # the optimization barrier) and an (acc & 1)-xor whose two possible
+    # operands it could precompute.  Sub-ms iterations also need a large K
+    # delta: at the default 10-iteration slope the tunnel's dispatch jitter
+    # produced 65%-157% readings; at 100 iterations four repeats measured
+    # 89-92% (sum_forms2 probe).
     def sum_step(y, acc):
-        return y, acc + jnp.sum(y ^ (acc & jnp.uint32(1)), dtype=jnp.uint32)
+        return y, acc + jnp.sum(y ^ acc, dtype=jnp.uint32)
 
     acc0 = jnp.zeros((), jnp.uint32)
     safe(
@@ -489,7 +492,7 @@ def main():
         lambda: record(
             "sum_u32_10m",
             n_elem,
-            device_seconds_per_iter(sum_step, (xu, acc0)),
+            device_seconds_per_iter(sum_step, (xu, acc0), k_lo=16, k_hi=416),
             n_elem * 4,
         ),
     )
@@ -511,7 +514,9 @@ def main():
         lambda: record(
             "sum_u32_128m",
             n_elem_big,
-            device_seconds_per_iter(sum_step, (xu_big, acc0)),
+            device_seconds_per_iter(
+                sum_step, (xu_big, acc0), k_lo=10, k_hi=110, repeats=3
+            ),
             n_elem_big * 4,
         ),
     )
