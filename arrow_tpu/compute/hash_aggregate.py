@@ -274,18 +274,19 @@ def _partition_by_class(planes, nbits: int):
     roll-combine: the sel side leaves zeros past its count, roll(unsel
     side, count0) wraps ITS zero tail to the front — the sum is the exact
     concatenation)."""
-    from ..utils import bits as B
     from .kernels.compaction3 import split_multi_pallas
 
     n = planes[0].shape[0]
     use_pallas = jax.default_backend() == "tpu" and n % 8192 == 0
 
-    def split(planes, mask0):
+    def split(planes, bit):
         if use_pallas:
-            o0, o1, c0 = split_multi_pallas(planes, B.pack_bits(mask0))
+            # in-kernel bit selection: no mask materialization/pack passes
+            o0, o1, c0 = split_multi_pallas(planes, bit=jnp.int32(bit))
             o0 = [o[:n] for o in o0]
             o1 = [o[:n] for o in o1]
         else:
+            mask0 = ((planes[0] >> bit) & 1) == 0
             from ..utils.scans import stable_partition
 
             c0 = jnp.sum(mask0, dtype=jnp.int32)
@@ -303,9 +304,7 @@ def _partition_by_class(planes, nbits: int):
         return tuple(a + jnp.roll(b, c0) for a, b in zip(o0, o1))
 
     for b in range(nbits):
-        bit = 12 + b
-        mask0 = ((planes[0] >> bit) & 1) == 0
-        planes = split(planes, mask0)
+        planes = split(planes, 12 + b)
     return planes
 
 

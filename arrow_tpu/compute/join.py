@@ -327,40 +327,53 @@ def _expand_program(cap: int):
             jnp.concatenate([p2a, p2b]),
         )
 
-    # TWO i64 cummaxes in one XLA program also SIGSEGV the compile helper at
-    # these sizes; one per program compiles (bisect2 merge_cummax_4m)
     @jax.jit
-    def fill_a(mk, m1, prow_l):
-        tag = m1 >= 0
-        mk64 = mk.astype(jnp.int64)
-        f1 = lax.cummax(
-            jnp.where(tag, (mk64 << 32) | m1.astype(jnp.int64), jnp.int64(-1))
-        )
-        valid = f1 >= 0
-        prow_j = jnp.where(
-            valid, (f1 & jnp.int64(0xFFFFFFFF)).astype(jnp.int32), prow_l[0]
-        )
-        ep = jnp.where(valid, (f1 >> 32).astype(jnp.int32), jnp.int32(0))
-        return prow_j, ep
+    def post(mk, m1, m2, prow_l, lo_l, total32):
+        """Propagate each run's (end, prow, lo) onto its outputs, compute
+        (probe_idx, bpos), compact the output rows.
 
-    @jax.jit
-    def fill_b(mk, m1, m2, lo_l, ep, total32):
+        The fill is ONE 3-plane SEGMENTED max scan (Pallas streaming kernel)
+        with the tagged rows as segment starts: every untagged plane value
+        is -1, so the per-plane max within a segment IS the tag row's value.
+        (lax.cummax on packed i64 lowered to reduce-windows that DOMINATED
+        the join — 194 ms for one fill at 32M in the device trace — and two
+        of them in one program SIGSEGV the remote compile helper.)"""
         tag = m1 >= 0
-        mk64 = mk.astype(jnp.int64)
-        f2 = lax.cummax(
-            jnp.where(tag, (mk64 << 32) | m2.astype(jnp.int64), jnp.int64(-1))
-        )
-        lo_j = jnp.where(
-            f2 >= 0, (f2 & jnp.int64(0xFFFFFFFF)).astype(jnp.int32), lo_l[0]
-        )
+        kt = jnp.where(tag, mk, jnp.int32(-1))
+        from .kernels.segscan import combine_max, scan_supported, segscan_pallas
+
+        if scan_supported(kt, "max"):
+            fk, f1, f2 = segscan_pallas((kt, m1, m2), tag, combine_max)
+        else:
+            # CPU/small fallback: packed-i64 cummax fills (run keys are
+            # strictly increasing, so the packed value is monotone; the
+            # plain per-plane ladder would NOT be — payloads are arbitrary)
+            mk64 = mk.astype(jnp.int64)
+            p1_ = lax.cummax(
+                jnp.where(
+                    tag, (mk64 << 32) | m1.astype(jnp.int64), jnp.int64(-1)
+                )
+            )
+            p2_ = lax.cummax(
+                jnp.where(
+                    tag, (mk64 << 32) | m2.astype(jnp.int64), jnp.int64(-1)
+                )
+            )
+            fk = (p1_ >> 32).astype(jnp.int32)
+            f1 = jnp.where(
+                p1_ >= 0,
+                (p1_ & jnp.int64(0xFFFFFFFF)).astype(jnp.int32),
+                jnp.int32(-1),
+            )
+            f2 = (p2_ & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        valid = f1 >= 0
+        prow_j = jnp.where(valid, f1, prow_l[0])
+        ep = jnp.where(valid, fk, jnp.int32(0))
+        lo_j = jnp.where(valid, f2, lo_l[0])
         bpos = lo_j + (mk - ep)
         # dead outputs (j >= total) sort last in the rank-fill stage
         bpos = jnp.where(mk < total32, bpos, jnp.int32(_SENT - 1))
-        return bpos
-
-    @jax.jit
-    def post_compact(prow_j, bpos, m1):
-        pidx, bposc = _compact_planes((prow_j, bpos), m1 < 0)
+        pidx, bposc = _compact_planes((prow_j, bpos), jnp.logical_not(tag))
         return pidx[:cap], bposc[:cap]
 
     def run(ends_l, prow_l, lo_l, m_eff, total32):
@@ -369,9 +382,7 @@ def _expand_program(cap: int):
         mk, m1, m2 = merge_pass_pallas(
             (k, p1, p2), jnp.int32(cap), interpret=interp
         )
-        prow_j, ep = fill_a(mk, m1, prow_l)
-        bpos = fill_b(mk, m1, m2, lo_l, ep, total32)
-        return post_compact(prow_j, bpos, m1)
+        return post(mk, m1, m2, prow_l, lo_l, total32)
 
     return run
 
@@ -405,13 +416,23 @@ def _rank_fill_program(cap: int, table_len: int):
 
     @jax.jit
     def post(mk, mv, mt):
-        mk64 = mk.astype(jnp.int64)
-        f = lax.cummax(
-            jnp.where(
-                mt == 1, (mk64 << 32) | mv.astype(jnp.int64), jnp.int64(-1)
+        from .kernels.segscan import combine_max, scan_supported, segscan_pallas
+
+        tag = mt == 1
+        vt = jnp.where(tag, mv, jnp.int32(-1))
+        if scan_supported(vt, "max"):
+            # segmented max with table rows as segment starts: propagates
+            # each rank's sorder value onto its queries (see _expand_program)
+            (f,) = segscan_pallas((vt,), tag, combine_max)
+            bidx = f
+        else:
+            mk64 = mk.astype(jnp.int64)
+            f = lax.cummax(
+                jnp.where(
+                    tag, (mk64 << 32) | mv.astype(jnp.int64), jnp.int64(-1)
+                )
             )
-        )
-        bidx = (f & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+            bidx = (f & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
         pid_o, bid_o = _compact_planes((mv, bidx), mt == 0)
         return pid_o[:cap], bid_o[:cap]
 

@@ -497,7 +497,7 @@ def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = 
 # ---------------------------------------------------------------------------
 
 
-def _make_split_kernel(block: int, nv: int):
+def _make_split_kernel(block: int, nv: int, from_bit: bool = False):
     subl = block // LANES
     wr_rows = block // 4096
     win = block + TILE
@@ -505,22 +505,30 @@ def _make_split_kernel(block: int, nv: int):
     nbits_row = (subw - 1).bit_length()
 
     def kernel(nb_ref, *refs):
-        # refs: v_hbm[nv], mask_hbm | outS[nv], outU[nv] |
-        #   dbuf[nv] (2, subl, L), mbuf (2, wr_rows, L),
+        # refs: v_hbm[nv] [, mask_hbm] | outS[nv], outU[nv] [, cnt_out] |
+        #   dbuf[nv] (2, subl, L) [, mbuf (2, wr_rows, L)],
         #   winS[nv] (NSLOT+1, subw, L), winU[nv],
-        #   sem_d (2, nv), sem_m (2,), sem_wS (NSLOT, nv), sem_wU (NSLOT, nv),
-        #   sem_z (2, 2*nv)
+        #   sem_d (2, nv) [, sem_m (2,)], sem_wS (NSLOT, nv),
+        #   sem_wU (NSLOT, nv), sem_z (2, 2*nv)
+        # from_bit: the selection is bit `nb_ref[1]` of plane 0 being ZERO,
+        # computed in-kernel (no mask stream, no pack_bits pass outside);
+        # cnt_out carries the sel-side count (the final front cursor).
         k = 0
         v_hbm = refs[k : k + nv]; k += nv
-        mask_hbm = refs[k]; k += 1
+        if not from_bit:
+            mask_hbm = refs[k]; k += 1
         outS = refs[k : k + nv]; k += nv
         outU = refs[k : k + nv]; k += nv
+        if from_bit:
+            cnt_out = refs[k]; k += 1
         dbuf = refs[k : k + nv]; k += nv
-        mbuf = refs[k]; k += 1
+        if not from_bit:
+            mbuf = refs[k]; k += 1
         winS = refs[k : k + nv]; k += nv
         winU = refs[k : k + nv]; k += nv
         sem_d = refs[k]; k += 1
-        sem_m = refs[k]; k += 1
+        if not from_bit:
+            sem_m = refs[k]; k += 1
         sem_wS = refs[k]; k += 1
         sem_wU = refs[k]; k += 1
         sem_z = refs[k]
@@ -566,7 +574,8 @@ def _make_split_kernel(block: int, nv: int):
         def start_reads(i):
             for p in range(nv):
                 rd_v(i, p).start()
-            rd_m(i).start()
+            if not from_bit:
+                rd_m(i).start()
 
         def wr(winb, outs, sem_wr, i, off, p):
             s = lax.rem(i, jnp.int32(NSLOT))
@@ -653,8 +662,19 @@ def _make_split_kernel(block: int, nv: int):
             sp = lax.rem(i + jnp.int32(NSLOT - 1), jnp.int32(NSLOT))
             m = lax.rem(i, jnp.int32(2))
 
-            rd_m(i).wait()
-            sel = _unpack_block(mbuf[m].astype(jnp.uint32), subl)
+            if from_bit:
+                # selection derives from the key plane: wait data first
+                for p in range(nv):
+                    rd_v(i, p).wait()
+                bitv = nb_ref[1]
+                sel = jnp.where(
+                    ((dbuf[0][m] >> bitv) & jnp.int32(1)) == 0,
+                    jnp.ones((subl, LANES), jnp.int32),
+                    jnp.zeros((subl, LANES), jnp.int32),
+                )
+            else:
+                rd_m(i).wait()
+                sel = _unpack_block(mbuf[m].astype(jnp.uint32), subl)
             self16 = sel.astype(jnp.float32).astype(jnp.bfloat16)
             within = jnp.dot(self16, t128, preferred_element_type=jnp.float32)
             rowsum = jnp.dot(self16, ones128, preferred_element_type=jnp.float32)
@@ -671,8 +691,9 @@ def _make_split_kernel(block: int, nv: int):
             cntb_u = jnp.int32(LANES) - cntb
             rowoff_u = row_b * jnp.int32(LANES) - rowoff_i
 
-            for p in range(nv):
-                rd_v(i, p).wait()
+            if not from_bit:
+                for p in range(nv):
+                    rd_v(i, p).wait()
 
             @pl.when(i + 1 < n_blocks)
             def _():
@@ -749,42 +770,34 @@ def _make_split_kernel(block: int, nv: int):
 
         epilogue(winS, outS, sem_wS, offS, offS_prev, 0)
         epilogue(winU, outU, sem_wU, offU, offU_prev, nv)
+        if from_bit:
+            cnt_out[...] = jnp.full((HEADR, LANES), jnp.int32(0)) + offS
 
     return kernel, subw, win
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def split_multi_pallas(vplanes, mask_words, interpret: bool | None = None):
-    """Stable binary split: (selected-front planes, unselected-front planes,
-    count) from ONE read of the input.
-
-    vplanes: tuple of (n,) 32-bit arrays; mask_words: (n/32,) u32 LSB-first
-    selection words (bits >= n MUST be zero); n % 8192 == 0.  Returns
-    (sel_outs, unsel_outs, count): each out has the compact_multi capacity
-    with its rows dense at the front and rows [count, n) zeroed (capacity
-    slack beyond n is unspecified, as in compact_multi — callers slice).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+@functools.partial(jax.jit, static_argnames=("bit_is_none", "interpret"))
+def _split_call(vplanes, mask_words, bit, bit_is_none, interpret):
     vplanes = tuple(vplanes)
     nv = len(vplanes)
     assert 1 <= nv <= 8
     n = vplanes[0].shape[0]
     block = _pick_block(n)
     nb = n // block
-    kernel, subw, win = _make_split_kernel(block, nv)
+    from_bit = not bit_is_none
+    kernel, subw, win = _make_split_kernel(block, nv, from_bit)
     wr_rows = block // 4096
 
-    count = jnp.sum(lax.population_count(mask_words), dtype=jnp.int32)
-
     scratch = [pltpu.VMEM((2, block // LANES, LANES), jnp.int32) for _ in range(nv)]
-    scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
+    if not from_bit:
+        scratch.append(pltpu.VMEM((2, wr_rows, LANES), jnp.uint32))
     scratch += [
         pltpu.VMEM((NSLOT + 1, subw, LANES), jnp.int32) for _ in range(2 * nv)
     ]
+    scratch += [pltpu.SemaphoreType.DMA((2, nv))]
+    if not from_bit:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
     scratch += [
-        pltpu.SemaphoreType.DMA((2, nv)),
-        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((NSLOT, nv)),
         pltpu.SemaphoreType.DMA((NSLOT, nv)),
         pltpu.SemaphoreType.DMA((2, 2 * nv)),
@@ -793,20 +806,56 @@ def split_multi_pallas(vplanes, mask_words, interpret: bool | None = None):
     out_shapes = [
         jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32) for _ in range(2 * nv)
     ]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (2 * nv)
+    if from_bit:
+        out_shapes.append(jax.ShapeDtypeStruct((HEADR, LANES), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args = [
+        jnp.stack([jnp.int32(nb), jnp.int32(bit if bit is not None else 0)])
+    ]
+    args += [
+        lax.bitcast_convert_type(v, jnp.int32) if v.dtype != jnp.int32 else v
+        for v in [v.reshape(-1, LANES) for v in vplanes]
+    ]
+    n_in = nv
+    if not from_bit:
+        args.append(mask_words.reshape(-1, LANES))
+        n_in += 1
     outs = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (nv + 1),
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * nv),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        jnp.full((1,), nb, jnp.int32),
-        *[lax.bitcast_convert_type(v, jnp.int32) if v.dtype != jnp.int32 else v
-          for v in [v.reshape(-1, LANES) for v in vplanes]],
-        mask_words.reshape(-1, LANES),
-    )
+    )(*args)
+    if from_bit:
+        count = outs[-1][0, 0]
+        outs = outs[:-1]
+    else:
+        count = jnp.sum(lax.population_count(mask_words), dtype=jnp.int32)
     outs = [o.reshape(-1) for o in outs]
     return tuple(outs[:nv]), tuple(outs[nv:]), count
+
+
+def split_multi_pallas(vplanes, mask_words=None, bit=None, interpret: bool | None = None):
+    """Stable binary split: (selected-front planes, unselected-front planes,
+    count) from ONE read of the input.
+
+    vplanes: tuple of (n,) 32-bit arrays, n % 8192 == 0.  Selection: either
+    mask_words ((n/32,) u32 LSB-first words, bits >= n MUST be zero) or
+    `bit` (a runtime scalar: select rows whose plane-0 bit is ZERO, computed
+    in-kernel — no mask materialization or pack pass outside; one compiled
+    kernel serves every bit).  Returns (sel_outs, unsel_outs, count): each
+    out has the compact_multi capacity with its rows dense at the front and
+    rows [count, n) zeroed (capacity slack beyond n is unspecified, as in
+    compact_multi — callers slice).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert (mask_words is None) != (bit is None)
+    return _split_call(
+        tuple(vplanes), mask_words, bit, bit is None, interpret
+    )
