@@ -415,7 +415,7 @@ def _rank_fill_program(cap: int, table_len: int):
         )
 
     @jax.jit
-    def post(mk, mv, mt):
+    def post(mk, mv, mt, total32):
         from .kernels.segscan import combine_max, scan_supported, segscan_pallas
 
         tag = mt == 1
@@ -434,13 +434,20 @@ def _rank_fill_program(cap: int, table_len: int):
             )
             bidx = (f & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
         pid_o, bid_o = _compact_planes((mv, bidx), mt == 0)
-        return pid_o[:cap], bid_o[:cap]
+        # zero-padding invariant: when the build table has no zero tail
+        # (nbv == table_len) the compaction count covers every query row,
+        # so dead slots [total, cap) would keep the rank-fill's last table
+        # value (a REAL build row id) — mask both outputs explicitly
+        live = lax.broadcasted_iota(jnp.int32, (cap,), 0) < total32
+        pid_o = jnp.where(live, pid_o[:cap], jnp.int32(0))
+        bid_o = jnp.where(live, bid_o[:cap], jnp.int32(0))
+        return pid_o, bid_o
 
-    def run(bpos, pidx, sorder):
+    def run(bpos, pidx, sorder, total32):
         interp = jax.default_backend() != "tpu"
         k, v, t = prep(bpos, pidx, sorder)
         mk, mv, mt = merge_pass_pallas((k, v, t), jnp.int32(L), interpret=interp)
-        return post(mk, mv, mt)
+        return post(mk, mv, mt, total32)
 
     return run
 
@@ -473,10 +480,14 @@ def join_indices(
     dev = probe_keys.device
     mode = os.environ.get("ARROW_TPU_JOIN_EMIT", "auto")
     nb_pad, np_pad = spec[0], spec[3]
+    # both pads individually: _rank_fill_program's merge pass needs its run
+    # length L = max(cap, nb_pad) to be a multiple of 8192, which the summed
+    # gate only guarantees at the default pad_unit (ADVICE r4)
     use_merge = mode == "merge" or (
         mode == "auto"
         and jax.default_backend() == "tpu"
-        and (nb_pad + np_pad) % 8192 == 0
+        and nb_pad % 8192 == 0
+        and np_pad % 8192 == 0
     )
     if use_merge:
         # adaptive key narrowing (a la DuckDB): 64-bit keys whose observed
@@ -513,7 +524,9 @@ def join_indices(
             pidx, bpos = _expand_program(cap)(
                 ends_l, prow_l, lo_l, m_eff, jnp.int32(t)
             )
-            pidx, bidx = _rank_fill_program(cap, nb_pad)(bpos, pidx, sorder)
+            pidx, bidx = _rank_fill_program(cap, nb_pad)(
+                bpos, pidx, sorder, jnp.int32(t)
+            )
             return (
                 make_array(
                     pidx.astype(jnp.uint32), None, t, dt.ArrowType.UINT32, dev

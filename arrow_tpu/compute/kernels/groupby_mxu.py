@@ -176,8 +176,11 @@ def _make_kernel(block: int, nlimb: int):
                     elo = jnp.concatenate(
                         [jnp.where(c_, one, zero) for c_ in conds], axis=0
                     ).astype(jnp.bfloat16)
-                # each per-group f32 partial is exact (<= 2^18); accumulate
-                # across groups in s32 so block sums (up to 2^23) stay exact
+                # each per-group f32 dot partial is exact: bounded by
+                # (2^LIMB_BITS - 1) * GROUP_ROWS * LANES = 255 * 128 * 128
+                # < 2^24, the f32 integer-exact range (bound scales with
+                # GROUP_ROWS and LIMB_BITS — re-check before widening
+                # either); accumulate across groups in s32
                 cnt_p = cnt_p + jax.lax.dot_general(
                     ehi, elo, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

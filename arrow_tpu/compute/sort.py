@@ -173,6 +173,230 @@ def _sort_merge(keys, payload_cols):
     return out_keys, out_cols
 
 
+# ---- Pallas LSB radix-sort path (kernels/radix.py) -------------------------
+
+_RADIX_KEY_DTYPES = {
+    dt.ArrowType.UINT32, dt.ArrowType.INT32, dt.ArrowType.FLOAT32,
+    dt.ArrowType.DATE32, dt.ArrowType.UINT64, dt.ArrowType.INT64,
+}
+
+
+def _radix_encode_key32(data, descending: bool):
+    """Map a 32-bit key plane to an i32 whose UNSIGNED bit order is the sort
+    order (standard radix encodings; NaNs canonicalized to the maximum so
+    they sort last — matching the lax.sort paths — in both directions)."""
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        y = lax.bitcast_convert_type(data, jnp.int32)
+        enc = jnp.where(y < 0, ~y, y | jnp.int32(-0x80000000))
+        nan = jnp.isnan(data)
+        if descending:
+            return jnp.where(nan, jnp.int32(-1), ~enc)
+        return jnp.where(nan, jnp.int32(-1), enc)
+    if data.dtype in (jnp.int32,):
+        enc = lax.bitcast_convert_type(data, jnp.int32) ^ jnp.int32(-0x80000000)
+    else:
+        enc = lax.bitcast_convert_type(data, jnp.int32)
+    return ~enc if descending else enc
+
+
+def _radix_decode_key32(enc, out_dtype, descending: bool):
+    """Inverse of `_radix_encode_key32` for non-float keys (float keys keep
+    their original data plane and are emitted via the payload ride-along)."""
+    if descending:
+        enc = ~enc
+    if jnp.dtype(out_dtype) == jnp.int32:
+        enc = enc ^ jnp.int32(-0x80000000)
+    return lax.bitcast_convert_type(enc, jnp.dtype(out_dtype))
+
+
+def _radix_auto(keys) -> bool:
+    """Whether "auto" picks the radix path: TPU backend at sizes where the
+    measured per-pass cost beats lax.sort's O(log^2) comparison network
+    (v5e r5 measurement — see docs/sort_design_notes.md).  ARROW_TPU_SORT
+    forces "radix"/"xla" for A/B runs (any backend; CPU runs interpreted
+    and slowly)."""
+    import os
+
+    forced = os.environ.get("ARROW_TPU_SORT")
+    if forced == "radix":
+        return True
+    if forced == "xla":
+        return False
+    return jax.default_backend() == "tpu" and keys.data.shape[0] >= (1 << 22)
+
+
+def _radix_eligible(keys, payload_cols) -> bool:
+    if keys.dtype not in _RADIX_KEY_DTYPES or keys.validity is not None:
+        return False
+    if keys.data.shape[0] % 8192 != 0:
+        return False
+    nplanes = (2 if dt.item_size(keys.dtype) == 8 else 1) + (
+        1 if keys.dtype is dt.ArrowType.FLOAT32 else 0
+    )
+    for c in payload_cols:
+        kind, has_validity, _ = _payload_colspec(c)
+        nplanes += (2 if kind == "w64" else 1) + (1 if has_validity else 0)
+        if len(c) != len(keys):
+            return False
+    return nplanes <= 8
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_prep_program(spec):
+    """(n, length, key_dtype_str, descending, colspec) -> jitted encode:
+    key planes (padding rows forced to the max encoding so they sort last)
+    + payload 32-bit planes + the significant-bit masks per key plane."""
+    n, length, key_dtype_str, descending, colspec = spec
+    kdt = jnp.dtype(key_dtype_str)
+    is64 = kdt.itemsize == 8
+    is_f32 = kdt == jnp.float32
+
+    def run(key_data, *flat):
+        live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+        if is64:
+            w = lax.bitcast_convert_type(key_data, jnp.uint32)  # (n, 2) limbs
+            lo = lax.bitcast_convert_type(w[:, 0], jnp.int32)
+            hi = lax.bitcast_convert_type(w[:, 1], jnp.int32)
+            if kdt == jnp.int64:
+                hi = hi ^ jnp.int32(-0x80000000)
+            if descending:
+                lo, hi = ~lo, ~hi
+            lo = jnp.where(live, lo, jnp.int32(-1))
+            hi = jnp.where(live, hi, jnp.int32(-1))
+            kplanes = [lo, hi]
+        else:
+            enc = _radix_encode_key32(key_data, descending)
+            kplanes = [jnp.where(live, enc, jnp.int32(-1))]
+        planes = list(kplanes)
+        if is_f32:
+            # float keys ride their raw data as a payload plane: the encode
+            # is not invertible through NaN canonicalization
+            planes.append(lax.bitcast_convert_type(key_data, jnp.int32))
+        it = iter(flat)
+        for kind, has_validity, _dtype_str in colspec:
+            data = next(it)
+            validity = next(it) if has_validity else None
+            if kind == "bool":
+                planes.append(B.unpack_bits(data).astype(jnp.int32))
+            elif kind == "w64":
+                w = lax.bitcast_convert_type(data, jnp.uint32)
+                planes.append(lax.bitcast_convert_type(w[:, 0], jnp.int32))
+                planes.append(lax.bitcast_convert_type(w[:, 1], jnp.int32))
+            elif kind == "small":
+                planes.append(data.astype(jnp.int32))
+            else:
+                planes.append(
+                    lax.bitcast_convert_type(data, jnp.int32)
+                    if data.dtype != jnp.int32
+                    else data
+                )
+            if has_validity:
+                planes.append(B.unpack_bits(validity).astype(jnp.int32))
+        def _orred(k):
+            u = k.astype(jnp.uint32)
+            return lax.reduce(
+                u, jnp.uint32(0), lax.bitwise_or, (0,)
+            ) ^ lax.reduce(
+                u, jnp.uint32(0xFFFFFFFF), lax.bitwise_and, (0,)
+            )
+
+        sig = [_orred(k) for k in kplanes]
+        return tuple(planes), jnp.stack(sig)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_finish_program(spec):
+    n, length, key_dtype_str, descending, colspec = spec
+    kdt = jnp.dtype(key_dtype_str)
+    is64 = kdt.itemsize == 8
+    is_f32 = kdt == jnp.float32
+
+    def run(*planes):
+        live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+        it = iter(planes)
+        if is64:
+            lo, hi = next(it), next(it)
+            if descending:
+                lo, hi = ~lo, ~hi
+            if kdt == jnp.int64:
+                hi = hi ^ jnp.int32(-0x80000000)
+            key = lax.bitcast_convert_type(jnp.stack([lo, hi], axis=-1), kdt)
+        elif is_f32:
+            next(it)  # encoded plane: the raw data plane follows
+            key = lax.bitcast_convert_type(next(it), jnp.float32)
+        else:
+            key = _radix_decode_key32(next(it), kdt, descending)
+        key = jnp.where(live, key, jnp.zeros_like(key))
+        results = []
+        for kind, has_validity, dtype_str in colspec:
+            if kind == "bool":
+                results.append(B.pack_bits((next(it) != 0) & live))
+            elif kind == "w64":
+                lo, hi = next(it), next(it)
+                w = lax.bitcast_convert_type(
+                    jnp.stack([lo, hi], axis=-1), jnp.dtype(dtype_str)
+                )
+                results.append(jnp.where(live, w, jnp.zeros_like(w)))
+            else:
+                o = lax.bitcast_convert_type(next(it), jnp.int32)
+                o = (
+                    o.astype(jnp.dtype(dtype_str))
+                    if kind == "small"
+                    else lax.bitcast_convert_type(o, jnp.dtype(dtype_str))
+                )
+                results.append(jnp.where(live, o, jnp.zeros_like(o)))
+            if has_validity:
+                results.append(B.pack_bits((next(it) != 0) & live))
+            else:
+                results.append(None)
+        return key, results
+
+    return jax.jit(run)
+
+
+def _sort_radix(keys, payload_cols, descending: bool = False):
+    """Multi-pass LSB radix sort (kernels/radix.py): the BASELINE-named sort
+    algorithm.  One compiled Pallas pass program serves every bit; passes
+    chain as async dispatches over only the SIGNIFICANT key bits (one tiny
+    host sync reads the OR^AND bit mask).  64-bit keys run lo-limb bits then
+    hi-limb bits with the limb planes swapped between chains (LSD across
+    limbs — each chain is stable, so the composition is the 64-bit order)."""
+    from .kernels.radix import radix_sort_chain
+
+    colspec = tuple(_payload_colspec(c) for c in payload_cols)
+    spec = (
+        int(keys.data.shape[0]), keys.length,
+        str(jnp.dtype(keys.data.dtype)), bool(descending), colspec,
+    )
+    flat = []
+    for c in payload_cols:
+        flat.append(c.data)
+        if c.validity is not None:
+            flat.append(c.validity)
+    planes, sig = _radix_prep_program(spec)(keys.data, *flat)
+    sig = [int(s) for s in sig]  # ONE host sync for the pass list
+    n = int(keys.data.shape[0])
+    nk = len(sig)
+    bits_lo = [b for b in range(32) if (sig[0] >> b) & 1]
+    out = radix_sort_chain(planes, bits_lo, n)
+    if nk == 2:
+        bits_hi = [b for b in range(32) if (sig[1] >> b) & 1]
+        if bits_hi:
+            # hi limb becomes plane 0 for the second chain
+            perm = [1, 0] + list(range(2, len(out)))
+            out = radix_sort_chain([out[i] for i in perm], bits_hi, n)
+            out = [out[perm.index(i)] for i in range(len(out))]
+    key_out, results = _radix_finish_program(spec)(*out)
+    out_keys = make_array(key_out, None, keys.length, keys.dtype, keys.device)
+    out_cols = [
+        make_array(d, v, c.length, c.dtype, c.device)
+        for c, d, v in zip(payload_cols, results[::2], results[1::2])
+    ]
+    return out_keys, out_cols
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _argsort_program(data, validity, length, descending, *payloads):
     rank, key = _sort_keys(data, validity, length, descending)
@@ -224,6 +448,16 @@ def sort(
     """
     if a.dtype not in _SORTABLE:
         raise OperationNotSupported(f"sort not supported for {a.dtype.value}")
+    if method == "radix" and not _radix_eligible(a, []):
+        raise OperationNotSupported(
+            "radix sort requires a non-null u32/i32/f32/date32/u64/i64 key "
+            "whose padded buffer length is a multiple of 8192"
+        )
+    if method in ("auto", "radix") and _radix_eligible(a, []) and (
+        method == "radix" or _radix_auto(a)
+    ):
+        out_keys, _ = _sort_radix(a, [], descending)
+        return out_keys
     if method == "merge" and not _merge_eligible(a, descending, force=True):
         raise OperationNotSupported(
             "merge sort requires a 32-bit non-null ascending key whose padded "
@@ -260,6 +494,26 @@ def sort_by_key(
     """
     if keys.dtype not in _SORTABLE:
         raise OperationNotSupported(f"sort not supported for {keys.dtype.value}")
+    pcols = (
+        list(payload.columns().values())
+        if isinstance(payload, RecordBatch)
+        else ([payload] if payload is not None else [])
+    )
+    if method in ("auto", "radix") and _radix_eligible(keys, pcols) and (
+        method == "radix" or _radix_auto(keys)
+    ):
+        ok, outs = _sort_radix(keys, pcols, descending)
+        if payload is None:
+            return ok, None
+        if isinstance(payload, RecordBatch):
+            return ok, RecordBatch(dict(zip(payload.columns().keys(), outs)))
+        return ok, outs[0]
+    if method == "radix":
+        raise OperationNotSupported(
+            "radix sort requires a non-null u32/i32/f32/date32/u64/i64 key, "
+            "padded buffer length a multiple of 8192, and <= 8 total 32-bit "
+            "planes across key and payload columns"
+        )
     if method in ("auto", "merge") and _merge_eligible(
         keys, descending, force=method == "merge"
     ):
