@@ -56,7 +56,7 @@ def _valid_bools(data, validity, length):
 
 
 def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
-                 merge_len=None, dense=False):
+                 merge_len=None, dense=False, presorted=False):
     """Shared sort+segmented-scan group-by core (traceable).
 
     key_data: (n,) keys; kvalid: (n,) bool valid-key mask;
@@ -99,7 +99,10 @@ def groupby_core(key_data, kvalid, val_entries, agg_spec, length_hint=None,
         in_group = idx32 < jnp.int32(merge_len)
     elif dense:
         operands = [key_data] + [vdata for vdata, _ in val_entries]
-        raw = lax.sort(operands, num_keys=1, is_stable=True)
+        if presorted:  # caller already key-grouped the planes (radix chain)
+            raw = operands
+        else:
+            raw = lax.sort(operands, num_keys=1, is_stable=True)
         skey = raw[0]
         true_plane = jnp.ones((n,), jnp.bool_)
         sorted_ = [None, skey]
@@ -269,38 +272,30 @@ def _partition_by_class(planes, nbits: int):
     """Stable LSB-first binary splits on key bits [12, 12+nbits): groups rows
     by class = key>>12 (bit-reversed class order; each class contiguous).
 
-    planes[0] is the shifted key plane; every split routes ALL rows (ONE
-    dual-output split kernel reading the input once + a dynamic
-    roll-combine: the sel side leaves zeros past its count, roll(unsel
-    side, count0) wraps ITS zero tail to the front — the sum is the exact
-    concatenation)."""
-    from .kernels.compaction3 import split_multi_pallas
-
+    XLA ladder formulation (traceable, used off-TPU); the TPU path in
+    `_partition_groupby_program` rides `kernels/radix.radix_sort_chain`
+    over the same bits instead (r5): each Pallas pass reads its
+    predecessor's stream outputs directly — no per-split roll-combine (the
+    r4 formulation paid read 8n + write 16n + combine 24n bytes per plane
+    per split; the chain pays 8n + 8n) and no tail-zero epilogues, with ONE
+    final combine re-establishing the flat layout."""
     n = planes[0].shape[0]
-    use_pallas = jax.default_backend() == "tpu" and n % 8192 == 0
+    from ..utils.scans import stable_partition
 
     def split(planes, bit):
-        if use_pallas:
-            # in-kernel bit selection: no mask materialization/pack passes
-            o0, o1, c0 = split_multi_pallas(planes, bit=jnp.int32(bit))
-            o0 = [o[:n] for o in o0]
-            o1 = [o[:n] for o in o1]
-        else:
-            mask0 = ((planes[0] >> bit) & 1) == 0
-            from ..utils.scans import stable_partition
-
-            c0 = jnp.sum(mask0, dtype=jnp.int32)
-            live0 = lax.broadcasted_iota(jnp.int32, (n,), 0) < c0
-            o0 = [
-                jnp.where(live0, o, jnp.zeros_like(o))
-                for o in stable_partition(mask0, list(planes))
-            ]
-            c1 = jnp.int32(n) - c0
-            live1 = lax.broadcasted_iota(jnp.int32, (n,), 0) < c1
-            o1 = [
-                jnp.where(live1, o, jnp.zeros_like(o))
-                for o in stable_partition(jnp.logical_not(mask0), list(planes))
-            ]
+        mask0 = ((planes[0] >> bit) & 1) == 0
+        c0 = jnp.sum(mask0, dtype=jnp.int32)
+        live0 = lax.broadcasted_iota(jnp.int32, (n,), 0) < c0
+        o0 = [
+            jnp.where(live0, o, jnp.zeros_like(o))
+            for o in stable_partition(mask0, list(planes))
+        ]
+        c1 = jnp.int32(n) - c0
+        live1 = lax.broadcasted_iota(jnp.int32, (n,), 0) < c1
+        o1 = [
+            jnp.where(live1, o, jnp.zeros_like(o))
+            for o in stable_partition(jnp.logical_not(mask0), list(planes))
+        ]
         return tuple(a + jnp.roll(b, c0) for a, b in zip(o0, o1))
 
     for b in range(nbits):
@@ -309,34 +304,40 @@ def _partition_by_class(planes, nbits: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _partition_groupby_program(spec: tuple):
-    """(n, length, dom_bits, nlimb) -> jitted (count, sums) over the dense
-    domain [0, 2^dom_bits) via partition + streaming region-MXU kernel.
-
-    Keys are shifted up one class (class 0 = garbage: padded rows and the
-    compactions' zero tails), split into class-contiguous order, aggregated
-    by `groupby_region_pallas`, and the garbage class dropped."""
-    (n, length, dom_bits, nlimbs) = spec  # nlimbs: tuple, one per val column
-    from .kernels.groupby_region import SLOTS as RSLOTS
-    from .kernels.groupby_region import groupby_region_pallas
-
-    # the split passes route ALL rows (counts sum to n), so garbage only
-    # exists when the buffer carries padding (length < n) — full buffers
-    # skip the shift and its extra split bit entirely
-    has_garbage = length < n
-    nclass = (1 << dom_bits) // RSLOTS + (1 if has_garbage else 0)
-    nbits = max(1, (nclass - 1).bit_length())
+def _partition_prep_program(spec: tuple):
+    (n, length, has_garbage, rslots) = spec
 
     def run(key_data, *val_bufs):
         keyp = key_data.astype(jnp.int32)
         if has_garbage:
             live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
-            keyp = jnp.where(live, keyp + jnp.int32(RSLOTS), jnp.int32(0))
-        planes = _partition_by_class(
-            (keyp, *[v.astype(jnp.int32) for v in val_bufs]), nbits
-        )
-        kp = planes[0]
-        vps = planes[1:] or (jnp.zeros_like(kp),)
+            keyp = jnp.where(live, keyp + jnp.int32(rslots), jnp.int32(0))
+        return (keyp, *[v.astype(jnp.int32) for v in val_bufs])
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _partition_split_program(spec: tuple):
+    """CPU/XLA fallback partition as ONE jitted program (the TPU path runs
+    the Pallas radix chain as host-composed dispatches instead — fusing 8+
+    Pallas passes plus the region kernel into one program SIGSEGVs the
+    remote Mosaic compile helper, docs/mosaic_notes.md r4)."""
+    (n, nbits) = spec
+
+    def run(*planes):
+        return _partition_by_class(tuple(planes), nbits)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _partition_region_program(spec: tuple):
+    (nclass, has_garbage, rslots, nlimbs) = spec
+    from .kernels.groupby_region import groupby_region_pallas
+
+    def run(kp, *vps):
+        vps = vps or (jnp.zeros_like(kp),)
         cnt = None
         sums = []
         for vi, vp in enumerate(vps):
@@ -345,11 +346,45 @@ def _partition_groupby_program(spec: tuple):
             cnt = c if cnt is None else cnt
             sums.append(tot)
         if has_garbage:
-            cnt = cnt[RSLOTS:]
-            sums = [s[RSLOTS:] for s in sums]
+            cnt = cnt[rslots:]
+            sums = [s[rslots:] for s in sums]
         return cnt, *sums
 
     return jax.jit(run)
+
+
+def _partition_groupby_program(spec: tuple):
+    """(n, length, dom_bits, nlimbs) -> host-composed (count, sums) over the
+    dense domain [0, 2^dom_bits): prep -> class partition (Pallas radix
+    chain on TPU, XLA splits elsewhere) -> streaming region-MXU kernel.
+
+    Keys are shifted up one class (class 0 = garbage: padded rows), split
+    into class-contiguous order, aggregated by `groupby_region_pallas`, and
+    the garbage class dropped."""
+    (n, length, dom_bits, nlimbs) = spec  # nlimbs: tuple, one per val column
+    from .kernels.groupby_region import SLOTS as RSLOTS
+
+    # the split passes route ALL rows (counts sum to n), so garbage only
+    # exists when the buffer carries padding (length < n) — full buffers
+    # skip the shift and its extra split bit entirely
+    has_garbage = length < n
+    nclass = (1 << dom_bits) // RSLOTS + (1 if has_garbage else 0)
+    nbits = max(1, (nclass - 1).bit_length())
+    prep = _partition_prep_program((n, length, has_garbage, RSLOTS))
+    region = _partition_region_program((nclass, has_garbage, RSLOTS, nlimbs))
+    use_chain = jax.default_backend() == "tpu" and n % 8192 == 0
+
+    def run(key_data, *val_bufs):
+        planes = prep(key_data, *val_bufs)
+        if use_chain:
+            from .kernels.radix import radix_sort_chain
+
+            planes = radix_sort_chain(planes, range(12, 12 + nbits), n)
+        else:
+            planes = _partition_split_program((n, nbits))(*planes)
+        return region(*planes)
+
+    return run
 
 
 @functools.lru_cache(maxsize=None)
@@ -517,6 +552,127 @@ def _hash_aggregate_partition(keys, aggregations, key_domain=None, value_bits=No
     return RecordBatch(cols)
 
 
+# ---------------------------------------------------------------------------
+# radix-sorted group-by: sparse/huge domains beyond the partition gate (r5)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_groupby_prep(spec: tuple):
+    (n, signed, agg_spec) = spec
+
+    def run(key_data, *val_bufs):
+        enc = lax.bitcast_convert_type(key_data, jnp.int32)
+        if signed:
+            enc = enc ^ jnp.int32(-0x80000000)
+        u = lax.bitcast_convert_type(enc, jnp.uint32)
+        sig = lax.reduce(u, jnp.uint32(0), lax.bitwise_or, (0,)) ^ lax.reduce(
+            u, jnp.uint32(0xFFFFFFFF), lax.bitwise_and, (0,)
+        )
+        planes = [enc] + [
+            v if v.dtype == jnp.int32 else lax.bitcast_convert_type(v, jnp.int32)
+            for v in val_bufs
+        ]
+        return tuple(planes), sig
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_groupby_post(spec: tuple):
+    (n, signed, agg_spec) = spec
+
+    def run(c0, *parts):
+        from .kernels.radix import combine_parts
+
+        half = len(parts) // 2
+        skey_enc, *svals = [
+            combine_parts(s_, u_, c0, n)
+            for s_, u_ in zip(parts[:half], parts[half:])
+        ]
+        if signed:
+            skey_enc = skey_enc ^ jnp.int32(-0x80000000)
+        true_plane = jnp.ones((n,), jnp.bool_)
+        val_entries = []
+        vi = 0
+        dtypes = [d for a, d, _h in agg_spec if a != "count_all"]
+        for sv, ds in zip(svals, dtypes):
+            v = lax.bitcast_convert_type(sv, jnp.dtype(ds))
+            val_entries.append((v, true_plane))
+            vi += 1
+        return groupby_core(
+            skey_enc, true_plane, val_entries, agg_spec, dense=True,
+            presorted=True,
+        )
+
+    return jax.jit(run)
+
+
+def _hash_aggregate_radix(keys, aggregations):
+    """Sort-path group-by with the O(log^2 n) lax.sort replaced by the
+    Pallas LSB radix chain (kernels/radix.py) — the route for key domains
+    beyond the partition gate (BASELINE's 100M-distinct config).  Dense
+    no-null full-buffer 32-bit keys only; returns None when ineligible."""
+    import os
+
+    n = int(keys.data.shape[0])
+    forced = os.environ.get("ARROW_TPU_FORCE_RADIX_AGG") == "1"
+    if (
+        (jax.default_backend() != "tpu" and not forced)
+        or n % 8192 != 0
+        or keys.validity is not None
+        or keys.length != n
+        or dt.item_size(keys.dtype) > 4
+    ):
+        return None
+    agg_spec = []
+    val_bufs: List = []
+    for name, col, kind in aggregations:
+        if kind not in AGG_KINDS:
+            return None
+        if col is None:
+            if kind != "count":
+                return None
+            agg_spec.append(("count_all", "", False))
+            continue
+        if (
+            len(col) != len(keys)
+            or col.validity is not None
+            or col.dtype is dt.ArrowType.BOOL
+            or dt.item_size(col.dtype) > 4
+        ):
+            return None
+        agg_spec.append((kind, str(jnp.dtype(col.data.dtype)), False))
+        val_bufs.append(col.data)
+    if 1 + len(val_bufs) > 8:
+        return None
+    from .kernels.radix import radix_sort_chain_parts
+
+    signed = dt.is_signed(keys.dtype)
+    spec = (n, bool(signed), tuple(agg_spec))
+    planes, sig = _radix_groupby_prep(spec)(keys.data, *val_bufs)
+    bits = [b for b in range(32) if (int(sig) >> b) & 1]
+    S, U, c0 = radix_sort_chain_parts(planes, bits, n)
+    outs = _radix_groupby_post(spec)(c0, *S, *U)
+    num_groups, out_keys, out_aggs = outs[0], outs[1], outs[2]
+    ng = int(num_groups)
+    device = keys.device
+    out_keys = lax.bitcast_convert_type(out_keys, dt.info(keys.dtype).numpy)
+
+    def _wrap(buf, dtype):
+        return make_array(buf, None, ng, dtype, device)
+
+    cols: Dict[str, ArrowArrayBase] = {"key": _wrap(out_keys, keys.dtype)}
+    for (name, col, kind), buf in zip(aggregations, out_aggs):
+        if kind == "count":
+            cols[name] = _wrap(buf, dt.ArrowType.INT64)
+        elif kind == "mean":
+            cols[name] = _wrap(buf, dt.ArrowType.FLOAT64)
+        else:
+            cols[name] = _wrap(buf, col.dtype)
+    return RecordBatch(cols)
+
+
 def hash_aggregate(
     keys: ArrowArrayBase,
     aggregations: Sequence[Tuple[str, Optional[ArrowArrayBase], str]],
@@ -560,6 +716,15 @@ def hash_aggregate(
         raise OperationNotSupported(
             "partition groupby requires dense keys in (4096, 2^22], "
             "non-negative integer values and no nulls"
+        )
+    if method in ("auto", "radix"):
+        out = _hash_aggregate_radix(keys, aggregations)
+        if out is not None:
+            return out
+    if method == "radix":
+        raise OperationNotSupported(
+            "radix groupby requires dense no-null full-buffer keys and "
+            "values of <= 32 bits on the TPU backend"
         )
     agg_spec = []
     val_bufs: List = []

@@ -233,23 +233,24 @@ def _compact_planes(planes, mask):
 
 
 @functools.lru_cache(maxsize=None)
-def _join_plan_program(spec: tuple):
-    """Co-sorted plan: ONE sort of concat(build, probe) keyed by limbs with a
-    single tagged-row-id payload; returns the key-ordered build row-id list
-    (sorder) and the non-empty probe run list (end, probe_row, lo)."""
+def _join_plan_prep(spec: tuple):
+    """Build the co-sort operands: per-limb key planes (invalid rows forced
+    to MAX so they group last) + the tagged row-id payload."""
     (nb, lb, bv, np_, lp, pv, narrow) = spec
 
     def run(bkeys, bvalidity, pkeys, pvalidity):
-        from ..utils.scans import prefix_sum, shift_cummax, sort_limbs
+        from ..utils.scans import sort_limbs
 
         bvalid = _valid_mask(bkeys, bvalidity, lb)
         pvalid = _valid_mask(pkeys, pvalidity, lp)
         tot = nb + np_
         if narrow:
             # adaptive key narrowing: caller verified every key < 2^32 (and
-            # non-negative), so the co-sort runs on ONE u32 limb
-            bkeys = bkeys.astype(jnp.uint32)
-            pkeys = pkeys.astype(jnp.uint32)
+            # non-negative), so the co-sort runs on ONE u32 limb.  Bitcast
+            # limb extraction, NOT astype: a 64->32 convert at 67M measured
+            # 171 ms of device time in the r5 plan-prep trace (20x roofline)
+            bkeys = lax.bitcast_convert_type(bkeys, jnp.uint32)[:, 0]
+            pkeys = lax.bitcast_convert_type(pkeys, jnp.uint32)[:, 0]
         keys = [
             jnp.concatenate([b, p])
             for b, p in zip(sort_limbs(bkeys), sort_limbs(pkeys))
@@ -262,10 +263,46 @@ def _join_plan_program(spec: tuple):
         ]
         sorig = lax.broadcasted_iota(jnp.int32, (tot,), 0)
         sorig = jnp.where(valid_all, sorig, jnp.int32(tot))
-        # stability is irrelevant: segment bounds come from key boundaries
-        # and any within-key order yields the same pair SET
+        sig = None
+        if len(keys) == 1:
+            u = keys[0].astype(jnp.uint32)
+            sig = lax.reduce(u, jnp.uint32(0), lax.bitwise_or, (0,)) ^ lax.reduce(
+                u, jnp.uint32(0xFFFFFFFF), lax.bitwise_and, (0,)
+            )
+        return keys, sorig, sig
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _join_plan_sort(spec: tuple):
+    def run(keys, sorig):
+        # grouping order only: segment bounds come from key boundaries and
+        # any within-key order yields the same pair SET
         out = lax.sort([*keys, sorig], num_keys=len(keys), is_stable=False)
-        skeys, so = out[:-1], out[-1]
+        return out[:-1], out[-1]
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _join_plan_post(spec: tuple):
+    """From the co-sorted (key planes, tagged row ids): the key-ordered build
+    row-id list (sorder) and the non-empty probe run list (end, probe_row,
+    lo)."""
+    (nb, lb, bv, np_, lp, pv, narrow) = spec
+
+    def run(skeys, so, c0=None):
+        from ..utils.scans import prefix_sum, shift_cummax
+
+        tot = nb + np_
+        if c0 is not None:
+            # raw radix-chain parts: fuse the (S, U, c0) combine into this
+            # program's first read (one sweep instead of combine + read)
+            from .kernels.radix import combine_parts
+
+            skeys = [combine_parts(s, u, c0, tot) for s, u in skeys]
+            so = combine_parts(so[0], so[1], c0, tot)
         isb = (so < nb).astype(jnp.int32)
         isp = jnp.logical_and(so >= nb, so < tot)
         b4 = (prefix_sum(isb) - isb).astype(jnp.int32)
@@ -280,7 +317,11 @@ def _join_plan_program(spec: tuple):
         hi_s = nbv - shift_cummax(jnp.where(end, after, -1), reverse=True)
         cnt_s = jnp.where(isp, hi_s - lo_s, 0).astype(jnp.int32)
         total = jnp.sum(cnt_s, dtype=jnp.int64)
-        offs64 = jnp.cumsum(cnt_s.astype(jnp.int64)) - cnt_s
+        # Pallas limb scan, not jnp.cumsum: the i64 cumsum lowers to a
+        # 140 ms reduce-window at 134M (r5 device trace)
+        from ..utils.scans import prefix_sum as _psum
+
+        offs64 = _psum(cnt_s.astype(jnp.int64)) - cnt_s
         ends_s = (offs64 + cnt_s).astype(jnp.int32)  # fast path gated <2^31
         prow_s = so - jnp.int32(nb)
         (sorder,) = _compact_planes((so,), isb == 1)
@@ -292,6 +333,31 @@ def _join_plan_program(spec: tuple):
         return total, m_eff, sorder, ends_l, prow_l, lo_l
 
     return jax.jit(run)
+
+
+def _join_plan(spec, bkeys, bvalidity, pkeys, pvalidity):
+    """prep -> co-sort -> post.  The co-sort rides the Pallas radix chain
+    when the key is a single u32 plane (native u32 or narrowed u64) on TPU —
+    the plan sort was ~55% of the r4 join cost on the lax.sort bound
+    (VERDICT r4 #2); only the SIGNIFICANT key bits are chained (the OR^AND
+    mask costs one tiny host sync)."""
+    (nb, lb, bv, np_, lp, pv, narrow) = spec
+    tot = nb + np_
+    keys, sorig, sig = _join_plan_prep(spec)(bkeys, bvalidity, pkeys, pvalidity)
+    use_radix = (
+        sig is not None
+        and keys[0].dtype == jnp.uint32
+        and tot % 8192 == 0
+        and jax.default_backend() == "tpu"
+    )
+    if use_radix:
+        from .kernels.radix import radix_sort_chain_parts
+
+        bits = [b for b in range(32) if (int(sig) >> b) & 1]
+        S, U, c0 = radix_sort_chain_parts((keys[0], sorig), bits, tot)
+        return _join_plan_post(spec)([(S[0], U[0])], (S[1], U[1]), c0)
+    skeys, so = _join_plan_sort(spec)(keys, sorig)
+    return _join_plan_post(spec)(skeys, so)
 
 
 @functools.lru_cache(maxsize=None)
@@ -506,8 +572,8 @@ def join_indices(
                 jnp.max(probe_keys.data.astype(jnp.uint64)),
             )
             narrow = bool(mx < (1 << 32))
-        plan = _join_plan_program(spec + (narrow,))
-        total, m_eff, sorder, ends_l, prow_l, lo_l = plan(
+        total, m_eff, sorder, ends_l, prow_l, lo_l = _join_plan(
+            spec + (narrow,),
             build_keys.data, build_keys.validity,
             probe_keys.data, probe_keys.validity,
         )

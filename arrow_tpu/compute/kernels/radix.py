@@ -50,15 +50,31 @@ from jax.experimental.pallas import tpu as pltpu
 from .compaction import _flat_roll_left
 from .kutils import taa_lanes
 
+import os as _os
+
 LANES = 128
 TILE = 1024
 HEADR = TILE // LANES
-MAX_BLOCK = 32768
-NSLOT = 3
+#: rows per block — A/B measured on v5e r5 (16K/32K/64K: see STATUS.md)
+MAX_BLOCK = int(_os.environ.get("ARROW_TPU_RADIX_BLOCK", "32768"))
+NSLOT = int(_os.environ.get("ARROW_TPU_RADIX_NSLOT", "3"))
 RU_PAD = 8  # extra bufU rows so the +1-row lane straddle always fits
 
+#: perf-floor probes (WRONG OUTPUT — A/B experiments only):
+#:   "none"     = skip searchsorted + network (DMA/stitch/rank skeleton)
+#:   "nosearch" = keep the network, skip the searchsorted (src = lane iota)
+#:   "oneside"  = full move for S only, U side skipped entirely
+_NET = _os.environ.get("ARROW_TPU_RADIX_NET", "full")
 
-def _make_radix_kernel(block: int, nv: int):
+#: dynamic-size window writes: each block writes only the rows that contain
+#: its data ([aligned_row, row(off+cnt)]) instead of the full subw window —
+#: halves write traffic at ~50/50 splits.  Interpret mode can't discharge
+#: dynamic-size DMA slices, so the caller forces it off there.
+_WSHRINK_ENV = _os.environ.get("ARROW_TPU_RADIX_WSHRINK", "1") == "1"
+
+
+def _make_radix_kernel(block: int, nv: int, wshrink: bool):
+    _WSHRINK = wshrink and _WSHRINK_ENV
     subl = block // LANES
     win = block + TILE
     subw = win // LANES
@@ -185,21 +201,27 @@ def _make_radix_kernel(block: int, nv: int):
                 outs.append(jnp.where(below, bufS[p][m], uvals))
             return outs
 
-        def wr(winb, outs, sem_wr, i, off, p):
+        def wr(winb, outs, sem_wr, i, off, p, rows=None):
             s = lax.rem(i, jnp.int32(NSLOT))
             aligned_row = pl.multiple_of(
                 lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
             )
+            if rows is None:
+                return pltpu.make_async_copy(
+                    winb[p].at[s],
+                    outs[p].at[pl.ds(aligned_row, subw), :],
+                    sem_wr.at[s, jnp.int32(p)],
+                )
             return pltpu.make_async_copy(
-                winb[p].at[s],
-                outs[p].at[pl.ds(aligned_row, subw), :],
+                winb[p].at[s, pl.ds(jnp.int32(0), rows), :],
+                outs[p].at[pl.ds(aligned_row, rows), :],
                 sem_wr.at[s, jnp.int32(p)],
             )
 
         start_reads(jnp.int32(0))
 
         def side_move(i, s, sp, off, off_prev, C, rowoff_i, cntb, data,
-                      winb, outs, sem_wr):
+                      winb, outs, sem_wr, blockcnt, rows_prev):
             """One v4 gather+row-network compaction of this block's rows
             against inclusive per-row ranks C (sorted per row); `data` is the
             list of nv stitched (subl, LANES) planes."""
@@ -215,11 +237,28 @@ def _make_radix_kernel(block: int, nv: int):
 
             base = shift + rowoff_i
             jp = (lane_b - base) & jnp.int32(127)
-            pos = jnp.zeros((subl, LANES), jnp.int32)
-            for kk in (64, 32, 16, 8, 4, 2, 1):
-                cval = taa_lanes(C, pos + jnp.int32(kk - 1))
-                pos = pos + jnp.where(cval <= jp, jnp.int32(kk), jnp.int32(0))
-            src = jnp.minimum(pos, jnp.int32(127))
+            if _NET in ("none", "nosearch"):
+                src = lane_b  # WRONG OUTPUT: perf-floor probe
+            else:
+                # branchless searchsorted; the first two probe positions are
+                # STATIC lanes (pos=0: lane 63; pos in {0,64}: lane 31/95),
+                # so lane-broadcast column slices replace the two most
+                # expensive taa gathers (measured: the search was ~31% of
+                # the pass, ~0.35 ms per gather step at 2^27)
+                c63 = C[:, 63:64]
+                pos = jnp.where(c63 <= jp, jnp.int32(64), jnp.int32(0))
+                c31 = C[:, 31:32]
+                c95 = C[:, 95:96]
+                probe2 = jnp.where(pos == jnp.int32(64), c95, c31)
+                pos = pos + jnp.where(
+                    probe2 <= jp, jnp.int32(32), jnp.int32(0)
+                )
+                for kk in (16, 8, 4, 2, 1):
+                    cval = taa_lanes(C, pos + jnp.int32(kk - 1))
+                    pos = pos + jnp.where(
+                        cval <= jp, jnp.int32(kk), jnp.int32(0)
+                    )
+                src = jnp.minimum(pos, jnp.int32(127))
             live = jp < cntb
             destrow = (base + jp) >> jnp.int32(7)
             drow = row_b + jnp.int32(HEADR) - destrow
@@ -234,36 +273,46 @@ def _make_radix_kernel(block: int, nv: int):
             rem = jnp.concatenate(
                 [jnp.zeros((HEADR, LANES), jnp.int32), rem_b], axis=0
             )
-            for st in range(nbits_row):
-                bit = 1 << st
-                nxt_rem = _flat_roll_left(rem, bit * LANES)
-                moved_in = ((nxt_rem >> st) & 1) == 1
-                my_move = ((rem >> st) & 1) == 1
-                cur = [
-                    jnp.where(moved_in, _flat_roll_left(c, bit * LANES), c)
-                    for c in cur
-                ]
-                rem = jnp.where(
-                    moved_in,
-                    nxt_rem - bit,
-                    jnp.where(my_move, jnp.zeros_like(rem), rem),
-                )
+            if _NET != "none":
+                for st in range(nbits_row):
+                    bit = 1 << st
+                    nxt_rem = _flat_roll_left(rem, bit * LANES)
+                    moved_in = ((nxt_rem >> st) & 1) == 1
+                    my_move = ((rem >> st) & 1) == 1
+                    cur = [
+                        jnp.where(moved_in, _flat_roll_left(c, bit * LANES), c)
+                        for c in cur
+                    ]
+                    rem = jnp.where(
+                        moved_in,
+                        nxt_rem - bit,
+                        jnp.where(my_move, jnp.zeros_like(rem), rem),
+                    )
 
             take_prev = widx8 < shift
             for p in range(nv):
                 head = jnp.where(take_prev, pheads[p], cur[p][:HEADR, :])
                 winb[p][s] = jnp.concatenate([head, cur[p][HEADR:, :]], axis=0)
 
+            rows = None
+            if _WSHRINK:
+                rows = jnp.maximum(
+                    lax.div(shift + blockcnt + jnp.int32(127), jnp.int32(128)),
+                    jnp.int32(1),
+                )
+
             @pl.when(i > 0)
             def _():
                 for p in range(nv):
-                    wr(winb, outs, sem_wr, i - 1, off_prev, p).wait()
+                    wr(winb, outs, sem_wr, i - 1, off_prev, p,
+                       rows_prev if _WSHRINK else None).wait()
 
             for p in range(nv):
-                wr(winb, outs, sem_wr, i, off, p).start()
+                wr(winb, outs, sem_wr, i, off, p, rows).start()
+            return rows if _WSHRINK else jnp.int32(subw)
 
         def body(i, state):
-            offS, offS_prev, offU, offU_prev = state
+            offS, offS_prev, offU, offU_prev, rowsS_prev, rowsU_prev = state
             s = lax.rem(i, jnp.int32(NSLOT))
             sp = lax.rem(i + jnp.int32(NSLOT - 1), jnp.int32(NSLOT))
             m = lax.rem(i, jnp.int32(2))
@@ -294,20 +343,27 @@ def _make_radix_kernel(block: int, nv: int):
             def _():
                 start_reads(i + 1)
 
-            side_move(i, s, sp, offS, offS_prev, Ci, rowoff_i, cntb, data,
-                      winS, outS, sem_wS)
-            side_move(i, s, sp, offU, offU_prev, Cu, rowoff_u, cntb_u, data,
-                      winU, outU, sem_wU)
             cnt_u = jnp.int32(block) - cnt
-            return offS + cnt, offS, offU + cnt_u, offU
+            rowsS = side_move(i, s, sp, offS, offS_prev, Ci, rowoff_i, cntb,
+                              data, winS, outS, sem_wS, cnt, rowsS_prev)
+            rowsU = rowsU_prev
+            if _NET != "oneside":
+                rowsU = side_move(i, s, sp, offU, offU_prev, Cu, rowoff_u,
+                                  cntb_u, data, winU, outU, sem_wU, cnt_u,
+                                  rowsU_prev)
+            return offS + cnt, offS, offU + cnt_u, offU, rowsS, rowsU
 
-        offS, offS_prev, offU, offU_prev = lax.fori_loop(
+        offS, offS_prev, offU, offU_prev, rowsS_l, rowsU_l = lax.fori_loop(
             jnp.int32(0), n_blocks, body,
-            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.int32(subw), jnp.int32(subw)),
         )
         for p in range(nv):
-            wr(winS, outS, sem_wS, n_blocks - 1, offS_prev, p).wait()
-            wr(winU, outU, sem_wU, n_blocks - 1, offU_prev, p).wait()
+            wr(winS, outS, sem_wS, n_blocks - 1, offS_prev, p,
+               rowsS_l if _WSHRINK else None).wait()
+            if _NET != "oneside":
+                wr(winU, outU, sem_wU, n_blocks - 1, offU_prev, p,
+                   rowsU_l if _WSHRINK else None).wait()
         cnt_out[...] = jnp.full((HEADR, LANES), jnp.int32(0)) + offS
 
     return kernel
@@ -345,7 +401,7 @@ def _radix_pass_call(planesS, planesU, c0, bit, n, interpret):
     subl = block // LANES
     subw = (block + TILE) // LANES
     ru = subl + RU_PAD
-    kernel = _make_radix_kernel(block, nv)
+    kernel = _make_radix_kernel(block, nv, wshrink=not interpret)
 
     scratch = (
         [pltpu.VMEM((2, subl, LANES), jnp.int32) for _ in range(nv)]
@@ -406,18 +462,20 @@ def _combine(planeS, planeU, c0, n, out_dtype):
     return out
 
 
-def radix_sort_chain(planes, bits, n: int, interpret: bool | None = None):
-    """Stable LSB radix sort of flat 32-bit planes by plane 0's bits.
+def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None):
+    """Stable LSB radix sort of flat 32-bit planes by plane 0's bits,
+    returning the RAW chain state (S_planes, U_planes, c0): the sorted order
+    is concat(S[:c0], U[:n-c0]) per plane.  Callers fuse their own decode /
+    masking into the combine so the chain epilogue is ONE pass, not two.
 
     planes: tuple of (n,) 32-bit arrays (plane 0 = the key in an unsigned
     bit-sortable encoding); bits: iterable of bit positions, LSB-first;
-    n % 8192 == 0.  Returns the sorted planes (plane 0 still encoded).
-    Runs len(bits) identical async dispatches of ONE compiled pass program.
+    n % 8192 == 0.  Runs len(bits) identical async dispatches of ONE
+    compiled pass program.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     planes = tuple(planes)
-    dtypes = [p.dtype for p in planes]
     rows = cap_rows_for(n)
     S = tuple(_to_cap(p, rows) for p in planes)
     U = S
@@ -426,6 +484,24 @@ def radix_sort_chain(planes, bits, n: int, interpret: bool | None = None):
         S, U, c0 = _radix_pass_call(
             S, U, c0, jnp.int32(int(b)), n=n, interpret=interpret
         )
+    return S, U, c0
+
+
+def combine_parts(s, u, c0, n: int):
+    """concat(S[:c0], U[:n-c0]) for one cap-shaped plane pair, traceable
+    (use inside a fused epilogue program)."""
+    sf = s.reshape(-1)[:n]
+    uf = u.reshape(-1)[:n]
+    idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    return jnp.where(idx < c0, sf, jnp.roll(uf, c0))
+
+
+def radix_sort_chain(planes, bits, n: int, interpret: bool | None = None):
+    """`radix_sort_chain_parts` + the flat combine: returns sorted (n,)
+    planes with input dtypes (plane 0 still encoded)."""
+    planes = tuple(planes)
+    dtypes = [p.dtype for p in planes]
+    S, U, c0 = radix_sort_chain_parts(planes, bits, n, interpret)
     return tuple(
         _combine(s, u, c0, n, jnp.dtype(d)) for s, u, d in zip(S, U, dtypes)
     )

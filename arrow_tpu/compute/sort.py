@@ -252,7 +252,14 @@ def _radix_prep_program(spec):
     is_f32 = kdt == jnp.float32
 
     def run(key_data, *flat):
-        live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+        padded = length < n
+
+        def pad_max(x):  # padding rows get the MAX encoding: they sort last
+            if not padded:
+                return x
+            live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+            return jnp.where(live, x, jnp.int32(-1))
+
         if is64:
             w = lax.bitcast_convert_type(key_data, jnp.uint32)  # (n, 2) limbs
             lo = lax.bitcast_convert_type(w[:, 0], jnp.int32)
@@ -261,12 +268,9 @@ def _radix_prep_program(spec):
                 hi = hi ^ jnp.int32(-0x80000000)
             if descending:
                 lo, hi = ~lo, ~hi
-            lo = jnp.where(live, lo, jnp.int32(-1))
-            hi = jnp.where(live, hi, jnp.int32(-1))
-            kplanes = [lo, hi]
+            kplanes = [pad_max(lo), pad_max(hi)]
         else:
-            enc = _radix_encode_key32(key_data, descending)
-            kplanes = [jnp.where(live, enc, jnp.int32(-1))]
+            kplanes = [pad_max(_radix_encode_key32(key_data, descending))]
         planes = list(kplanes)
         if is_f32:
             # float keys ride their raw data as a payload plane: the encode
@@ -308,13 +312,35 @@ def _radix_prep_program(spec):
 
 @functools.lru_cache(maxsize=None)
 def _radix_finish_program(spec):
+    """Fused chain epilogue: ONE pass per plane doing the (S, U, c0) combine
+    + key decode + zero-tail (r5: the separate combine-then-finish sweeps
+    cost ~2x the epilogue traffic and showed up as ~15% of the 134M sort)."""
     n, length, key_dtype_str, descending, colspec = spec
     kdt = jnp.dtype(key_dtype_str)
     is64 = kdt.itemsize == 8
     is_f32 = kdt == jnp.float32
 
-    def run(*planes):
-        live = lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+    def run(c0, *parts):
+        from .kernels.radix import combine_parts
+
+        half = len(parts) // 2
+        planes = [
+            combine_parts(s, u, c0, n)
+            for s, u in zip(parts[:half], parts[half:])
+        ]
+        padded = length < n
+        live = (
+            lax.broadcasted_iota(jnp.int32, (n,), 0) < jnp.int32(length)
+            if padded
+            else None
+        )
+
+        def mask(x):  # zero-padding invariant; a no-op for full buffers
+            return jnp.where(live, x, jnp.zeros_like(x)) if padded else x
+
+        def maskb(b):
+            return (b & live) if padded else b
+
         it = iter(planes)
         if is64:
             lo, hi = next(it), next(it)
@@ -328,17 +354,17 @@ def _radix_finish_program(spec):
             key = lax.bitcast_convert_type(next(it), jnp.float32)
         else:
             key = _radix_decode_key32(next(it), kdt, descending)
-        key = jnp.where(live, key, jnp.zeros_like(key))
+        key = mask(key)
         results = []
         for kind, has_validity, dtype_str in colspec:
             if kind == "bool":
-                results.append(B.pack_bits((next(it) != 0) & live))
+                results.append(B.pack_bits(maskb(next(it) != 0)))
             elif kind == "w64":
                 lo, hi = next(it), next(it)
                 w = lax.bitcast_convert_type(
                     jnp.stack([lo, hi], axis=-1), jnp.dtype(dtype_str)
                 )
-                results.append(jnp.where(live, w, jnp.zeros_like(w)))
+                results.append(mask(w))
             else:
                 o = lax.bitcast_convert_type(next(it), jnp.int32)
                 o = (
@@ -346,9 +372,9 @@ def _radix_finish_program(spec):
                     if kind == "small"
                     else lax.bitcast_convert_type(o, jnp.dtype(dtype_str))
                 )
-                results.append(jnp.where(live, o, jnp.zeros_like(o)))
+                results.append(mask(o))
             if has_validity:
-                results.append(B.pack_bits((next(it) != 0) & live))
+                results.append(B.pack_bits(maskb(next(it) != 0)))
             else:
                 results.append(None)
         return key, results
@@ -363,7 +389,7 @@ def _sort_radix(keys, payload_cols, descending: bool = False):
     host sync reads the OR^AND bit mask).  64-bit keys run lo-limb bits then
     hi-limb bits with the limb planes swapped between chains (LSD across
     limbs — each chain is stable, so the composition is the 64-bit order)."""
-    from .kernels.radix import radix_sort_chain
+    from .kernels.radix import radix_sort_chain, radix_sort_chain_parts
 
     colspec = tuple(_payload_colspec(c) for c in payload_cols)
     spec = (
@@ -380,15 +406,19 @@ def _sort_radix(keys, payload_cols, descending: bool = False):
     n = int(keys.data.shape[0])
     nk = len(sig)
     bits_lo = [b for b in range(32) if (sig[0] >> b) & 1]
-    out = radix_sort_chain(planes, bits_lo, n)
-    if nk == 2:
-        bits_hi = [b for b in range(32) if (sig[1] >> b) & 1]
-        if bits_hi:
-            # hi limb becomes plane 0 for the second chain
-            perm = [1, 0] + list(range(2, len(out)))
-            out = radix_sort_chain([out[i] for i in perm], bits_hi, n)
-            out = [out[perm.index(i)] for i in range(len(out))]
-    key_out, results = _radix_finish_program(spec)(*out)
+    bits_hi = (
+        [b for b in range(32) if (sig[1] >> b) & 1] if nk == 2 else []
+    )
+    if bits_hi:
+        # hi limb becomes plane 0 for the second chain (LSD across limbs)
+        out = radix_sort_chain(planes, bits_lo, n)
+        perm = [1, 0] + list(range(2, len(out)))
+        S, U, c0 = radix_sort_chain_parts([out[i] for i in perm], bits_hi, n)
+        S = [S[perm.index(i)] for i in range(len(S))]
+        U = [U[perm.index(i)] for i in range(len(U))]
+    else:
+        S, U, c0 = radix_sort_chain_parts(planes, bits_lo, n)
+    key_out, results = _radix_finish_program(spec)(c0, *S, *U)
     out_keys = make_array(key_out, None, keys.length, keys.dtype, keys.device)
     out_cols = [
         make_array(d, v, c.length, c.dtype, c.device)

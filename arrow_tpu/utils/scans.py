@@ -117,9 +117,11 @@ def sort_limbs(keys: jnp.ndarray) -> list:
     layout for wide keys.
     """
     if keys.dtype == jnp.uint64:
-        return [(keys >> 32).astype(jnp.uint32), keys.astype(jnp.uint32)]
+        w = lax.bitcast_convert_type(keys, jnp.uint32)  # (n, 2): lo, hi
+        return [w[:, 1], w[:, 0]]
     if keys.dtype == jnp.int64:
-        return [(keys >> 32).astype(jnp.int32), keys.astype(jnp.uint32)]
+        w = lax.bitcast_convert_type(keys, jnp.uint32)
+        return [lax.bitcast_convert_type(w[:, 1], jnp.int32), w[:, 0]]
     return [keys]
 
 

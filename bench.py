@@ -71,9 +71,6 @@ def _emit_final():
     fracs = [v for v in _FRACS.values()] or [1e-9]
     headline = float(np.exp(np.mean(np.log(np.maximum(fracs, 1e-9)))))
     _DETAILS["core_geomean_roofline_frac"] = headline
-    # one-round alias: r3 consumers read the (now misnamed: five metrics)
-    # core4_* key
-    _DETAILS["core4_geomean_roofline_frac"] = headline
     _DETAILS["metrics_completed"] = sorted(
         m for m, v in _FRACS.items() if v > 1e-9
     )
@@ -150,7 +147,12 @@ def main():
         {"device": str(jax.devices()[0]), "hbm_bytes_per_s": bw, "rows": n_op}
     )
 
-    def record(name, rows, seconds, bytes_moved, core=False):
+    def record(name, rows, seconds, bytes_moved, core=False, ceiling=None,
+               ceiling_note=None):
+        """ceiling = algorithmic_bytes / minimal REAL traffic of the chosen
+        algorithm (VERDICT r4 #9): the roofline fraction a multi-pass
+        algorithm would reach at 100% of HBM bandwidth.  Progress is
+        tracked against it via pct_of_ceiling."""
         rows_s = rows / seconds
         frac = (bytes_moved / seconds) / bw
         _DETAILS[name] = {
@@ -160,11 +162,17 @@ def main():
             "roofline_frac": frac,
             "gb_per_s": bytes_moved / seconds / 1e9,
         }
+        if ceiling is not None:
+            _DETAILS[name]["ceiling_frac"] = ceiling
+            _DETAILS[name]["pct_of_ceiling"] = frac / ceiling
+            if ceiling_note:
+                _DETAILS[name]["ceiling_note"] = ceiling_note
         if core:
             _FRACS[name] = frac
+        ceil_s = f" ceil={ceiling*100:.0f}%" if ceiling is not None else ""
         print(
             f"{name}: {rows_s/1e9:.3f} Grows/s  {bytes_moved/seconds/1e9:.1f} GB/s "
-            f"({frac*100:.0f}% of roofline)",
+            f"({frac*100:.0f}% of roofline{ceil_s})",
             file=sys.stderr,
             flush=True,
         )
@@ -228,6 +236,8 @@ def main():
             device_seconds_per_iter(filter_step, (data, mwords)),
             int(n_op * (4 + 0.125 + 2)),
             core=True,
+            ceiling=6.125 / 8.25,
+            ceiling_note="one pass: read 4n+mask, write 4n windows (+3% overlap)",
         ),
     )
 
@@ -235,22 +245,58 @@ def main():
     keys = gen_u32(jax.random.key(2), n_op, 1 << 31)  # noqa: E501  (data/mwords stay for the sweep below)
     payload = gen_u32(jax.random.key(3), n_op, 1 << 31)
 
-    # stable fused key+payload lax.sort — measured FASTER than the Pallas
-    # streaming merge sort at this scale (586 ms vs 1282 ms at 134M on v5e;
-    # merge stays available via sort(method="merge"), see
-    # docs/sort_design_notes.md for the diagnosis)
+    # the LIBRARY's sort_by_key: auto-routes to the Pallas LSB radix chain
+    # (kernels/radix.py) on TPU at this scale — the BASELINE-named
+    # algorithm, r5; measured 1.2-1.3x the fused lax.sort at 134M (which
+    # itself beat the r3 Pallas merge sort).  Host-driven pass chain -> this
+    # is wall-clock over warm repeated calls with forced readback
+    # (block_until_ready alone returns early through the axon tunnel).
+    from arrow_tpu.array.array import make_array as _mk_arr
+    from arrow_tpu import dtypes as _adt
+    from arrow_tpu.compute.sort import sort_by_key as _sort_by_key
+
+    def sort_full():
+        ka = _mk_arr(keys, None, n_op, _adt.ArrowType.UINT32, None)
+        pa = _mk_arr(payload, None, n_op, _adt.ArrowType.UINT32, None)
+
+        def run():
+            ok, op_ = _sort_by_key(ka, pa)
+            # ONE tiny readback fences the final fused epilogue program
+            # (and with it the whole chain); block_until_ready alone
+            # returns early through the axon tunnel, and every extra
+            # readback costs an RTT that inflates wall-clock
+            np.asarray(ok.data[:1])
+
+        run()  # warm (compiles + caches)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            run()
+        secs = (time.time() - t0) / reps
+        # radix passes = significant key bits (31 here); per-pass real
+        # traffic = 16n bytes (read+write k+v), plus prep/pad + final
+        # combine — the achievable ceiling at 100% HBM bandwidth
+        pass_ct = 31
+        ceil = (n_op * 16) / (n_op * 16 * pass_ct + n_op * 40)
+        record(
+            "sort_u32_kv", n_op, secs, n_op * 16, core=True, ceiling=ceil,
+            ceiling_note=f"stable LSB radix, {pass_ct} passes x 16n bytes + prep/combine 40n",
+        )
+
+    safe("sort_u32_kv", sort_full)
+
+    # the prior rounds' bound for comparison (detail metric, not core)
     def sort_step(k, p):
         out = lax.sort([k, p], num_keys=1, is_stable=True)
         return out[0], out[1]
 
     safe(
-        "sort_u32_kv",
+        "sort_u32_kv_xla",
         lambda: record(
-            "sort_u32_kv",
+            "sort_u32_kv_xla",
             n_op,
             device_seconds_per_iter(sort_step, (keys, payload)),
             n_op * 16,
-            core=True,
         ),
     )
 
@@ -284,26 +330,50 @@ def main():
         _ng, gkey, _gsum, _gcnt = gprog(k, None, v)
         return k ^ (gkey[0] & jnp.uint32(1)), v
 
-    if jax.default_backend() == "tpu":
+    # the partition path is host-composed since r5 (prep -> Pallas radix
+    # chain -> region kernel), so dense-domain configs measure as wall-clock
+    # over warm repeated calls with forced readback
+    def agg_partition_time(k, v):
         pprog = _partition_groupby_program((n_op, n_op, 20, (1,)))
 
-        def agg_step(k, v):  # dense 2^20 domains: 1M-key + skew configs
+        def run():
             cnt, _tot = pprog(k, v)
-            return k ^ (cnt[0] & 1).astype(jnp.uint32), v
+            np.asarray(cnt[:1]); np.asarray(cnt[-1:])
 
-    else:
-        agg_step = agg_step_sort
+        run()  # warm
+        t0 = time.time()
+        reps = 2
+        for _ in range(reps):
+            run()
+        return (time.time() - t0) / reps
 
-    safe(
-        "hash_agg_u32_1m_keys",
-        lambda: record(
+    # 8 chain passes x 16n + prep 16n + combine 24n + region read 8n+
+    agg_ceil = 16.0 / (8 * 16 + 16 + 24 + 10)
+    agg_note = "radix class-partition (8 passes x 16n) + prep/combine + region-MXU read"
+    if jax.default_backend() == "tpu":
+        safe(
             "hash_agg_u32_1m_keys",
-            n_op,
-            device_seconds_per_iter(agg_step, (gkeys, gvals)),
-            n_op * 16,
-            core=True,
-        ),
-    )
+            lambda: record(
+                "hash_agg_u32_1m_keys",
+                n_op,
+                agg_partition_time(gkeys, gvals),
+                n_op * 16,
+                core=True,
+                ceiling=agg_ceil,
+                ceiling_note=agg_note,
+            ),
+        )
+    else:
+        safe(
+            "hash_agg_u32_1m_keys",
+            lambda: record(
+                "hash_agg_u32_1m_keys",
+                n_op,
+                device_seconds_per_iter(agg_step_sort, (gkeys, gvals)),
+                n_op * 16,
+                core=True,
+            ),
+        )
 
     # BASELINE sweep: the 1K-distinct-keys point rides the MXU one-hot kernel
     from arrow_tpu.compute.kernels.groupby_mxu import groupby_dense_pallas
@@ -324,6 +394,8 @@ def main():
                 device_seconds_per_iter(agg1k_step, (dkeys, dvals)),
                 n_op * 8,
                 core=True,
+                ceiling=1.0,
+                ceiling_note="single read of k+v; MXU one-hot compute bound, not bandwidth",
             ),
         )
     else:
@@ -345,22 +417,49 @@ def main():
         lambda: record(
             "hash_agg_u32_skew",
             n_op,
-            device_seconds_per_iter(agg_step, (zkeys, gvals)),
+            agg_partition_time(zkeys, gvals)
+            if jax.default_backend() == "tpu"
+            else device_seconds_per_iter(agg_step_sort, (zkeys, gvals)),
             n_op * 16,
         ),
     )
     wkeys = gen_u32(jax.random.key(13), n_op, 1 << 31)  # ~100M distinct
-    # 2^31 domain exceeds the partition path's gate: the library routes it
-    # to the sort program
-    safe(
-        "hash_agg_u32_100m_keys",
-        lambda: record(
+    # 2^31 domain exceeds the partition gate: the library routes it to the
+    # radix-sorted group-by (r5) — measure the LIBRARY path wall-clock
+    def agg_100m():
+        if jax.default_backend() != "tpu":
+            return record(
+                "hash_agg_u32_100m_keys",
+                n_op,
+                device_seconds_per_iter(agg_step_sort, (wkeys, gvals)),
+                n_op * 16,
+            )
+        from arrow_tpu.compute.hash_aggregate import hash_aggregate
+
+        ka = _mk_arr(wkeys, None, n_op, _adt.ArrowType.UINT32, None)
+        va = _mk_arr(
+            gvals, None, n_op, _adt.ArrowType.INT32, None
+        )
+
+        def run():
+            out = hash_aggregate(ka, [("s", va, "sum"), ("c", va, "count")])
+            np.asarray(out["key"].data[:1])
+
+        run()  # warm
+        t0 = time.time()
+        reps = 2
+        for _ in range(reps):
+            run()
+        record(
             "hash_agg_u32_100m_keys",
             n_op,
-            device_seconds_per_iter(agg_step_sort, (wkeys, gvals)),
+            (time.time() - t0) / reps,
             n_op * 16,
-        ),
-    )
+            ceiling=16.0 / (31 * 16 + 40 + 30),
+            ceiling_note="radix sort (31 passes) + prep/combine + segmented scans/compact",
+        )
+
+    safe("hash_agg_u32_100m_keys", agg_100m)
     del gkeys, gvals, dkeys, dvals, zkeys, wkeys
 
     # ---- operator 4: hash join (u64 keys) ---------------------------------
@@ -397,6 +496,11 @@ def main():
             (time.time() - t0) / reps,
             2 * nj * 16,
             core=True,
+            # plan radix co-sort (~26 narrowed-bit passes x 8B/row over
+            # nb+np rows) + plan prep/post scans/compactions + expand +
+            # rank-fill merge/fill/compact passes (~30 sweeps equivalent)
+            ceiling=16.0 / (26 * 8 + 110),
+            ceiling_note="radix plan co-sort + scans/compactions + merge-expand emit",
         )
         _DETAILS["hash_join_u64_full"]["output_rows"] = int(t)
 

@@ -337,16 +337,18 @@ def test_join_plan_narrowing_matches():
     the same totals/lists as the wide one."""
     import jax.numpy as jnp
 
-    from arrow_tpu.compute.join import _join_plan_program
+    from arrow_tpu.compute.join import _join_plan
 
     rng = np.random.default_rng(5)
     nb = np_ = 8192
     bk = jnp.asarray(rng.integers(0, 1000, nb).astype(np.uint64))
     pk = jnp.asarray(rng.integers(0, 1000, np_).astype(np.uint64))
-    wide = _join_plan_program((nb, nb, False, np_, np_, False, False))
-    nar = _join_plan_program((nb, nb, False, np_, np_, False, True))
-    tw, mw, sw, ew, pw, lw = wide(bk, None, pk, None)
-    tn, mn, sn, en, pn, ln = nar(bk, None, pk, None)
+    tw, mw, sw, ew, pw, lw = _join_plan(
+        (nb, nb, False, np_, np_, False, False), bk, None, pk, None
+    )
+    tn, mn, sn, en, pn, ln = _join_plan(
+        (nb, nb, False, np_, np_, False, True), bk, None, pk, None
+    )
     assert int(tw) == int(tn) and int(mw) == int(mn)
     np.testing.assert_array_equal(np.asarray(ew), np.asarray(en))
     np.testing.assert_array_equal(np.asarray(lw), np.asarray(ln))

@@ -130,3 +130,26 @@ def test_radix_method_rejects_nullable():
     k = at.UInt32Array.from_optional_slice([1, None, 3] + [0] * 100)
     with pytest.raises(Exception):
         sort(k, method="radix")
+
+
+def test_radix_groupby_matches_sort_path(monkeypatch):
+    from arrow_tpu.compute.hash_aggregate import hash_aggregate
+
+    monkeypatch.setenv("ARROW_TPU_FORCE_RADIX_AGG", "1")
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 50, N, dtype=np.uint32)
+    v = rng.integers(0, 1000, N).astype(np.int32)
+    ka = _mk(dt.ArrowType.UINT32, k)
+    va = getattr(at, "Int32Array").from_slice(v)
+    out = hash_aggregate(ka, [("s", va, "sum"), ("c", va, "count")], method="radix")
+    monkeypatch.delenv("ARROW_TPU_FORCE_RADIX_AGG")
+    ref = hash_aggregate(ka, [("s", va, "sum"), ("c", va, "count")], method="sort")
+    np.testing.assert_array_equal(
+        np.asarray(out["key"].values()), np.asarray(ref["key"].values())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["s"].values()), np.asarray(ref["s"].values())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["c"].values()), np.asarray(ref["c"].values())
+    )
