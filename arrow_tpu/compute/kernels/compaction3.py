@@ -98,7 +98,7 @@ def _unpack_block(w, subl: int):
     return ((g >> (l & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
 
 
-def _make_kernel(block: int, nv: int, nw: int):
+def _make_kernel(block: int, nv: int, nw: int, wshrink: bool = False):
     subl = block // LANES
     wr_rows = block // 4096  # packed-word rows per block
     win = block + TILE
@@ -165,14 +165,23 @@ def _make_kernel(block: int, nv: int, nw: int):
                 mask_hbm.at[pl.ds(wrow0, wr_rows), :], mbuf.at[m], sem_m.at[m]
             )
 
-        def wr(i, off, p):
+        def wr(i, off, p, rows=None):
             s = lax.rem(i, jnp.int32(NSLOT))
             aligned_row = pl.multiple_of(
                 lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
             )
+            if rows is None:
+                return pltpu.make_async_copy(
+                    winb[p].at[s],
+                    outs[p].at[pl.ds(aligned_row, subw), :],
+                    sem_wr.at[s, jnp.int32(p)],
+                )
+            # write-shrink (r5): only the rows holding this block's data —
+            # the epilogue's full-window re-write of the LAST window plus
+            # the zero chunks cover everything beyond the final count
             return pltpu.make_async_copy(
-                winb[p].at[s],
-                outs[p].at[pl.ds(aligned_row, subw), :],
+                winb[p].at[s, pl.ds(jnp.int32(0), rows), :],
+                outs[p].at[pl.ds(aligned_row, rows), :],
                 sem_wr.at[s, jnp.int32(p)],
             )
 
@@ -188,7 +197,7 @@ def _make_kernel(block: int, nv: int, nw: int):
             winb[p][ZSLOT] = jnp.zeros((subw, LANES), winb[p].dtype)
 
         def body(i, state):
-            off, off_prev = state
+            off, off_prev, rows_prev = state
             s = lax.rem(i, jnp.int32(NSLOT))
             sp = lax.rem(i + jnp.int32(NSLOT - 1), jnp.int32(NSLOT))  # (i-1) % NSLOT
             m = lax.rem(i, jnp.int32(2))
@@ -228,9 +237,16 @@ def _make_kernel(block: int, nv: int, nw: int):
                 # j' = which selected element of the row lands on lane q
                 jp = (lane_b - base) & jnp.int32(127)
                 # branchless searchsorted: pos = #{l: Ci[r,l] <= j'} = source
-                # lane of the (j'+1)-th selected element (max probe idx 126)
-                pos = jnp.zeros((subl, LANES), jnp.int32)
-                for kk in (64, 32, 16, 8, 4, 2, 1):
+                # lane of the (j'+1)-th selected element (max probe idx 126).
+                # The first two probe positions are STATIC lanes (63, then
+                # 31/95), so broadcast column slices replace the two most
+                # expensive taa gathers (r5: the search was ~1/3 of the
+                # radix pass's compute)
+                c63 = Ci[:, 63:64]
+                pos = jnp.where(c63 <= jp, jnp.int32(64), jnp.int32(0))
+                probe2 = jnp.where(pos == jnp.int32(64), Ci[:, 95:96], Ci[:, 31:32])
+                pos = pos + jnp.where(probe2 <= jp, jnp.int32(32), jnp.int32(0))
+                for kk in (16, 8, 4, 2, 1):
                     cval = taa_lanes(Ci, pos + jnp.int32(kk - 1))
                     pos = pos + jnp.where(
                         cval <= jp, jnp.int32(kk), jnp.int32(0)
@@ -327,21 +343,29 @@ def _make_kernel(block: int, nv: int, nw: int):
                 head = jnp.where(take_prev, pheads[p], cur[p][:HEADR, :])
                 winb[p][s] = jnp.concatenate([head, cur[p][HEADR:, :]], axis=0)
 
+            rows = None
+            if wshrink:
+                rows = jnp.maximum(
+                    lax.div(shift + cnt + jnp.int32(127), jnp.int32(128)),
+                    jnp.int32(1),
+                )
+
             # write-after-write ordering on the overlapping head tile
             @pl.when(i > 0)
             def _():
                 for p in range(np_):
-                    wr(i - 1, off_prev, p).wait()
+                    wr(i - 1, off_prev, p, rows_prev if wshrink else None).wait()
 
             for p in range(np_):
-                wr(i, off, p).start()
-            return off + cnt, off
+                wr(i, off, p, rows).start()
+            return off + cnt, off, (rows if wshrink else jnp.int32(subw))
 
-        off, off_prev = lax.fori_loop(
-            jnp.int32(0), n_blocks, body, (jnp.int32(0), jnp.int32(0))
+        off, off_prev, rows_last = lax.fori_loop(
+            jnp.int32(0), n_blocks, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(subw)),
         )
         for p in range(np_):
-            wr(n_blocks - 1, off_prev, p).wait()
+            wr(n_blocks - 1, off_prev, p, rows_last if wshrink else None).wait()
 
         # ---- epilogue: zero-padding invariant, in-kernel -------------------
         # rows >= count of every out plane are zeroed here (saving callers a
@@ -440,7 +464,13 @@ def compact_multi_pallas(vplanes, wplanes, mask_words, interpret: bool | None = 
     n = vplanes[0].shape[0] if nv else wplanes[0].shape[0] * 32
     block = _pick_block(n)
     nb = n // block
-    kernel, subw, win = _make_kernel(block, nv, nw)
+    # dynamic-size window writes (r5): at sel50 the full-window writes are
+    # 2x the landed data.  Interpret mode can't discharge dynamic-size DMAs.
+    wshrink = (
+        not interpret
+        and _os.environ.get("ARROW_TPU_FILTER_WSHRINK", "1") == "1"
+    )
+    kernel, subw, win = _make_kernel(block, nv, nw, wshrink=wshrink)
     wr_rows = block // 4096
 
     count = jnp.sum(lax.population_count(mask_words), dtype=jnp.int32)

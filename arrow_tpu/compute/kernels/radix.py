@@ -462,6 +462,30 @@ def _combine(planeS, planeU, c0, n, out_dtype):
     return out
 
 
+#: passes fused per dispatch: the axon tunnel costs ~8 ms of host latency
+#: PER jit dispatch (r5 device trace: a 31-pass chain carried ~250 ms of
+#: non-device time), so the chain groups up to CHUNK identical passes into
+#: one compiled program (same Pallas kernel instantiated k times — unlike
+#: the r4 mixed-kernel composites, this shape compiles cleanly)
+CHUNK = int(_os.environ.get("ARROW_TPU_RADIX_CHUNK", "4"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "k", "interpret"), donate_argnums=(0, 1)
+)
+def _radix_multipass_call(planesS, planesU, c0, bits, n, k, interpret):
+    """k chained passes in ONE dispatch; bits is a (k,) i32 array.  Inputs
+    are DONATED: a fused multi-pass program otherwise holds every
+    intermediate (S, U) generation live and exhausts HBM at 2^27 x 2 planes
+    (callers must not reuse the passed buffers — the chain never does; its
+    FIRST pass runs un-fused because there S and U alias one buffer)."""
+    for j in range(k):
+        planesS, planesU, c0 = _radix_pass_call(
+            planesS, planesU, c0, bits[j], n=n, interpret=interpret
+        )
+    return planesS, planesU, c0
+
+
 def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None):
     """Stable LSB radix sort of flat 32-bit planes by plane 0's bits,
     returning the RAW chain state (S_planes, U_planes, c0): the sorted order
@@ -480,10 +504,25 @@ def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None):
     S = tuple(_to_cap(p, rows) for p in planes)
     U = S
     c0 = jnp.int32(n)
-    for b in bits:
-        S, U, c0 = _radix_pass_call(
-            S, U, c0, jnp.int32(int(b)), n=n, interpret=interpret
-        )
+    bits = [int(b) for b in bits]
+    first = True
+    i = 0
+    chunk = max(CHUNK, 1)
+    while i < len(bits):
+        group = bits[i : i + (1 if first else chunk)]
+        i += len(group)
+        if len(group) == 1:
+            # also the mandatory first step: S and U alias one buffer there,
+            # which the donating multipass call must never see
+            S, U, c0 = _radix_pass_call(
+                S, U, c0, jnp.int32(group[0]), n=n, interpret=interpret
+            )
+        else:
+            S, U, c0 = _radix_multipass_call(
+                S, U, c0, jnp.asarray(group, jnp.int32), n, len(group),
+                interpret,
+            )
+        first = False
     return S, U, c0
 
 

@@ -20,18 +20,18 @@ collective overlaps with the gather/compaction compute where XLA's scheduler
 allows.  Rows whose bucket overflows are dropped and counted; callers pass a
 larger ``bucket_rows`` (skew slack) or check ``overflow``.
 
-Why not `lax.ragged_all_to_all` (which would drop the bucket padding
-entirely): probed round 3 — XLA:CPU raises "HLO opcode `ragged-all-to-all`
-is not supported by ThunkEmitter", so the ragged path could never run in the
-virtual-device tests, CI, or the multichip dryrun.  Probed round 4 on the
-REAL chip (tools/probe_r4.py): `lax.ragged_all_to_all` under shard_map
-COMPILES AND RUNS on the TPU backend (1-device mesh, correct offsets), so
-the swap-in is available the day real multi-chip exists — but it remains
-untestable here (no multi-chip TPU; CPU backend lacks the opcode), so the
-padded-bucket exchange stays the shipped formulation.  A future ragged
-conversion must replace the PAYLOAD exchange (the (p, bucket, nplanes)
-`lax.all_to_all` in `shuffle_shard_local`) AND restructure the preceding
-counts exchange that sizes the receive side — both collectives, not one.
+On the TPU backend the shuffle instead selects the RAGGED exchange
+(`shuffle_shard_local_ragged`, r5): `lax.ragged_all_to_all` ships exactly
+the occupied rows over ICI (the padded path sends `p * bucket` slots — 4x
+the balanced volume at the default skew slack — regardless of occupancy),
+with sender-computed receive offsets from one tiny all-gathered count
+matrix, which also deletes the receive-side searchsorted compaction.
+XLA:CPU raises "HLO opcode `ragged-all-to-all` is not supported by
+ThunkEmitter" (probed r3, still true r5), so tests / CI / the virtual-device
+multichip dryrun run the padded-bucket formulation; ARROW_TPU_SHUFFLE
+forces either path for A/B.  The 1-device-TPU smoke comparing both paths
+lives in the round verify flow (tools/probe_r4.py probed the primitive;
+/root/scratch round-5 verify scripts exercise the full shuffle).
 """
 
 from __future__ import annotations
@@ -182,9 +182,71 @@ def shuffle_shard_local(axis, p, cap, bucket, out_cap, c, key_data, payloads):
     return new_count, over_send | over_recv, outs
 
 
+def shuffle_shard_local_ragged(axis, p, cap, out_cap, c, key_data, payloads):
+    """Ragged-all-to-all variant of `shuffle_shard_local` (r5, TPU backend
+    only): sends exactly the occupied rows over ICI instead of `p * bucket`
+    padded slots (the padded exchange ships `capacity` rows regardless of
+    occupancy — pure wasted interconnect bytes), and the receive side lands
+    pre-grouped at sender-computed offsets, so the padded path's searchsorted
+    output compaction disappears entirely.
+
+    Offsets come from ONE tiny `all_gather` of the (p,) per-destination
+    counts: allg[s, d] = rows shard s sends to d; my send offsets into each
+    receiver are the exclusive per-column prefix at my row, and my receive
+    sizes are my column.  Senders clamp against receiver capacity (the same
+    overflow contract as the padded path: flag + caller retry/raise).
+
+    XLA:CPU lacks the `ragged-all-to-all` opcode (probed r3/r4), so tests and
+    the virtual-device dryrun keep the padded formulation.
+    """
+    n_idx = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    valid = n_idx < c
+
+    # -- route (identical to the padded path) -------------------------------
+    t = jnp.where(valid, (hash_key(key_data) % jnp.uint32(p)).astype(jnp.int32), p)
+    rows = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
+    t_s, order = lax.sort([t, rows], num_keys=1, is_stable=True)
+    cnt = jnp.zeros((p + 1,), jnp.int32).at[t].add(1)[:p]
+    starts = jnp.cumsum(cnt) - cnt
+
+    # -- offsets from the gathered count matrix -----------------------------
+    me = lax.axis_index(axis)
+    allg = lax.all_gather(cnt, axis)  # (p, p): [src, dst]
+    excl = jnp.cumsum(allg, axis=0) - allg  # exclusive per-dest prefix
+    clamp = jnp.minimum(allg, jnp.maximum(out_cap - excl, 0))
+    send_sz = clamp[me]
+    out_off = excl[me]
+    rcnt = clamp[:, me]
+    total = jnp.sum(rcnt)
+    overflow = jnp.any(clamp != allg)
+
+    # -- ONE fused ragged exchange ------------------------------------------
+    planes, slices = [], []
+    for vals, is_bool in payloads:
+        ps = [vals.astype(jnp.uint32)] if is_bool else u32_planes(vals)
+        slices.append((len(planes), len(planes) + len(ps)))
+        planes.extend(ps)
+    send = jnp.stack([pl[order] for pl in planes], axis=-1)  # (cap, nplanes)
+    outbuf = jnp.zeros((out_cap, len(planes)), jnp.uint32)
+    recv = lax.ragged_all_to_all(
+        send, outbuf, starts, send_sz, out_off, rcnt, axis_name=axis
+    )
+
+    live_out = lax.broadcasted_iota(jnp.int64, (out_cap,), 0) < total
+    outs = []
+    for (vals, is_bool), (lo, hi) in zip(payloads, slices):
+        words = [recv[:, i] for i in range(lo, hi)]
+        if is_bool:
+            outs.append((words[0] != 0) & live_out)
+            continue
+        outs.append(u32_decode(words, vals.dtype))
+    return total.astype(jnp.int32), overflow, outs
+
+
 @functools.lru_cache(maxsize=None)
 def _shuffle_program(
-    mesh_key, axis: str, p: int, cap: int, bucket: int, out_cap: int, col_spec: tuple
+    mesh_key, axis: str, p: int, cap: int, bucket: int, out_cap: int,
+    col_spec: tuple, ragged: bool = False
 ):
     """col_spec: ((name, dtype_str, is_bool, has_validity), ...); the first
     entry is the key column."""
@@ -205,9 +267,14 @@ def _shuffle_program(
                 bi += 1
                 payloads.append((B.unpack_bits(vwords), True))
 
-        new_count, overflow, outs = shuffle_shard_local(
-            axis, p, cap, bucket, out_cap, c, key_data, payloads
-        )
+        if ragged:
+            new_count, overflow, outs = shuffle_shard_local_ragged(
+                axis, p, cap, out_cap, c, key_data, payloads
+            )
+        else:
+            new_count, overflow, outs = shuffle_shard_local(
+                axis, p, cap, bucket, out_cap, c, key_data, payloads
+            )
         out_bufs = [B.pack_bits(o) if b else o for o, (_, b) in zip(outs, payloads)]
         return (new_count[None], overflow[None], *[o[None] for o in out_bufs])
 
@@ -251,6 +318,17 @@ def hash_partition(
         raise ArrowTpuError("bool partition keys unsupported")
     from ..array.array import pad_len
 
+    import os
+
+    # TPU backend: the ragged-all-to-all exchange (exact bytes over ICI, no
+    # bucket padding, no receive compaction).  CPU/XLA lacks the opcode, so
+    # tests and the virtual-device dryrun keep the padded-bucket exchange.
+    # ARROW_TPU_SHUFFLE forces "ragged"/"padded" for A/B.
+    forced = os.environ.get("ARROW_TPU_SHUFFLE")
+    ragged = (
+        forced == "ragged"
+        or (forced != "padded" and jax.default_backend() == "tpu")
+    )
     auto_retry = bucket_rows is None
     bucket = bucket_rows or max(1024, -(-cap // p) * 4)
     bucket = min(bucket, cap)
@@ -274,13 +352,14 @@ def hash_partition(
 
     def run(bucket):
         prog = _shuffle_program(
-            mesh_key, rt.axis, p, cap, bucket, out_cap, tuple(col_spec)
+            mesh_key, rt.axis, p, cap, bucket, out_cap, tuple(col_spec),
+            ragged=ragged,
         )
         return prog(*bufs)
 
     outs = run(bucket)
     new_counts, overflow = outs[0], outs[1]
-    if bool(jnp.any(overflow)) and auto_retry and bucket < cap:
+    if bool(jnp.any(overflow)) and auto_retry and not ragged and bucket < cap:
         # skewed past the 4x-balanced bound: retry once at the always-safe
         # full-capacity bucket (send overflow impossible: cnt <= cap)
         outs = run(cap)

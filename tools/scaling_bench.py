@@ -149,7 +149,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", nargs=5, metavar=("P", "PID", "PORT", "N", "ITERS"))
     ap.add_argument("--procs", nargs="*", type=int, default=[1, 2, 4, 8])
-    ap.add_argument("--rows-per-shard", type=int, default=131072)
+    # BASELINE's regime is millions of rows/shard (VERDICT r4 #5: the r4
+    # 131K-row measurement was fixed-overhead-dominated and could neither
+    # prove nor disprove the >=75% target); the sweep measures small AND
+    # large shards so the report can decompose t = fixed + rows/throughput
+    ap.add_argument(
+        "--rows-per-shard", type=int, nargs="*", default=[131072, 4194304]
+    )
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
     args = ap.parse_args()
@@ -159,38 +165,69 @@ def main():
         return
 
     base_port = 12321
-    all_results = {}
-    for p in args.procs:
-        t0 = time.time()
-        res = launch(p, base_port + p, args.rows_per_shard, args.iters)
-        all_results[p] = res
-        print(
-            f"P={p}: "
-            + "  ".join(
-                f"{k}={v['rows_per_s']/1e6:.2f} Mrows/s" for k, v in res.items()
+    report = {"sweep": {}}
+    for n_per in args.rows_per_shard:
+        all_results = {}
+        for p in args.procs:
+            t0 = time.time()
+            res = launch(p, base_port + p, n_per, args.iters)
+            all_results[p] = res
+            print(
+                f"rows/shard={n_per} P={p}: "
+                + "  ".join(
+                    f"{k}={v['rows_per_s']/1e6:.2f} Mrows/s"
+                    for k, v in res.items()
+                )
+                + f"  ({time.time()-t0:.0f}s)",
+                file=sys.stderr, flush=True,
             )
-            + f"  ({time.time()-t0:.0f}s)",
-            file=sys.stderr,
-        )
-
-    report = {"rows_per_shard": args.rows_per_shard, "points": {}}
-    base = all_results.get(1)
-    for p, res in all_results.items():
-        report["points"][str(p)] = {
-            name: {
-                "rows_per_s": v["rows_per_s"],
-                "seconds_per_iter": v["seconds_per_iter"],
-                "efficiency_vs_linear": (
-                    v["rows_per_s"] / (p * base[name]["rows_per_s"])
-                    if base and p > 1
-                    else 1.0
-                ),
+        points = {}
+        base = all_results.get(1)
+        for p, res in all_results.items():
+            points[str(p)] = {
+                name: {
+                    "rows_per_s": v["rows_per_s"],
+                    "seconds_per_iter": v["seconds_per_iter"],
+                    "efficiency_vs_linear": (
+                        v["rows_per_s"] / (p * base[name]["rows_per_s"])
+                        if base and p > 1
+                        else 1.0
+                    ),
+                }
+                for name, v in res.items()
             }
-            for name, v in res.items()
-        }
+        report["sweep"][str(n_per)] = points
+
+    # fixed-overhead vs volume decomposition: per (P, op), fit
+    # t = fixed + rows_per_shard / per_shard_throughput over the two
+    # smallest/largest sweep points
+    sizes = sorted(int(s) for s in report["sweep"])
+    if len(sizes) >= 2:
+        lo, hi = sizes[0], sizes[-1]
+        decomp = {}
+        for p in report["sweep"][str(lo)]:
+            if p not in report["sweep"][str(hi)]:
+                continue
+            decomp[p] = {}
+            for op in report["sweep"][str(lo)][p]:
+                t_lo = report["sweep"][str(lo)][p][op]["seconds_per_iter"]
+                t_hi = report["sweep"][str(hi)][p][op]["seconds_per_iter"]
+                slope = (t_hi - t_lo) / (hi - lo)  # s per local row
+                fixed = max(t_lo - slope * lo, 0.0)
+                decomp[p][op] = {
+                    "fixed_s": fixed,
+                    "per_mrow_s": slope * 1e6,
+                    "fixed_fraction_at_small": fixed / t_lo if t_lo else 0.0,
+                    "fixed_fraction_at_large": fixed / t_hi if t_hi else 0.0,
+                }
+        report["overhead_decomposition"] = decomp
+    # headline: the large-shard efficiencies (the BASELINE regime)
+    big = report["sweep"].get(str(sizes[-1]), {})
+    report["rows_per_shard"] = sizes[-1]
+    report["points"] = big  # back-compat shape for bench.py embedding
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps(report["points"].get("8") or report["points"], indent=None))
+    print(json.dumps(big.get("8") or big, indent=None))
 
 
 if __name__ == "__main__":
