@@ -652,6 +652,12 @@ def _hash_aggregate_radix(keys, aggregations):
     spec = (n, bool(signed), tuple(agg_spec))
     planes, sig = _radix_groupby_prep(spec)(keys.data, *val_bufs)
     bits = [b for b in range(32) if (int(sig) >> b) & 1]
+    # crossover vs the fused lax.sort group-by (v5e, 134M): the chain wins
+    # below ~28 significant bits (14.8 ms/pass vs a ~600 ms lax.sort whose
+    # scans fuse for free); at full-width keys the lax path stays faster
+    # (905 vs 723 ms measured) — fall back there
+    if len(bits) > 28 and not forced:
+        return None
     S, U, c0 = radix_sort_chain_parts(planes, bits, n)
     outs = _radix_groupby_post(spec)(c0, *S, *U)
     num_groups, out_keys, out_aggs = outs[0], outs[1], outs[2]
