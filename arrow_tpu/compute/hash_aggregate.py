@@ -582,13 +582,16 @@ def _radix_groupby_prep(spec: tuple):
 def _radix_groupby_post(spec: tuple):
     (n, signed, agg_spec) = spec
 
-    def run(c0, *parts):
+    def run(bounds, *parts):
         from .kernels.radix import combine_parts
 
-        half = len(parts) // 2
+        npl = len(parts) // (len(bounds) + 1)
+        r_ = len(parts) // npl
         skey_enc, *svals = [
-            combine_parts(s_, u_, c0, n)
-            for s_, u_ in zip(parts[:half], parts[half:])
+            combine_parts(
+                tuple(parts[t * npl + p] for t in range(r_)), bounds, n
+            )
+            for p in range(npl)
         ]
         if signed:
             skey_enc = skey_enc ^ jnp.int32(-0x80000000)
@@ -658,8 +661,9 @@ def _hash_aggregate_radix(keys, aggregations):
     # (905 vs 723 ms measured) — fall back there
     if len(bits) > 28 and not forced:
         return None
-    S, U, c0 = radix_sort_chain_parts(planes, bits, n)
-    outs = _radix_groupby_post(spec)(c0, *S, *U)
+    streams, bounds = radix_sort_chain_parts(planes, bits, n)
+    flat = [p_ for st in streams for p_ in st]
+    outs = _radix_groupby_post(spec)(tuple(bounds), *flat)
     num_groups, out_keys, out_aggs = outs[0], outs[1], outs[2]
     ng = int(num_groups)
     device = keys.device

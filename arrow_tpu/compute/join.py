@@ -292,17 +292,17 @@ def _join_plan_post(spec: tuple):
     lo)."""
     (nb, lb, bv, np_, lp, pv, narrow) = spec
 
-    def run(skeys, so, c0=None):
+    def run(skeys, so, bounds=None):
         from ..utils.scans import prefix_sum, shift_cummax
 
         tot = nb + np_
-        if c0 is not None:
-            # raw radix-chain parts: fuse the (S, U, c0) combine into this
+        if bounds is not None:
+            # raw radix-chain parts: fuse the stream combine into this
             # program's first read (one sweep instead of combine + read)
             from .kernels.radix import combine_parts
 
-            skeys = [combine_parts(s, u, c0, tot) for s, u in skeys]
-            so = combine_parts(so[0], so[1], c0, tot)
+            skeys = [combine_parts(st, bounds, tot) for st in skeys]
+            so = combine_parts(so, bounds, tot)
         isb = (so < nb).astype(jnp.int32)
         isp = jnp.logical_and(so >= nb, so < tot)
         b4 = (prefix_sum(isb) - isb).astype(jnp.int32)
@@ -351,11 +351,13 @@ def _join_plan(spec, bkeys, bvalidity, pkeys, pvalidity):
         and jax.default_backend() == "tpu"
     )
     if use_radix:
-        from .kernels.radix import radix_sort_chain_parts
+        from .kernels.radix import plane_parts, radix_sort_chain_parts
 
         bits = [b for b in range(32) if (int(sig) >> b) & 1]
-        S, U, c0 = radix_sort_chain_parts((keys[0], sorig), bits, tot)
-        return _join_plan_post(spec)([(S[0], U[0])], (S[1], U[1]), c0)
+        streams, bounds = radix_sort_chain_parts((keys[0], sorig), bits, tot)
+        return _join_plan_post(spec)(
+            [plane_parts(streams, 0)], plane_parts(streams, 1), tuple(bounds)
+        )
     skeys, so = _join_plan_sort(spec)(keys, sorig)
     return _join_plan_post(spec)(skeys, so)
 

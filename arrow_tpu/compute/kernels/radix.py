@@ -369,6 +369,290 @@ def _make_radix_kernel(block: int, nv: int, wshrink: bool):
     return kernel
 
 
+def _make_radix4_kernel(block: int, nv: int, wshrink: bool):
+    """4-stream (2-bit) radix pass: digit = bitA | bitB<<1 of the key plane,
+    reading FOUR predecessor streams with three stitch boundaries.
+
+    Two bits per pass halve the read+write traffic per sorted bit (the DMA
+    floor was 48% of the 2-way pass, r5 sweep) while the per-stream move
+    cost per bit stays flat (R/log2(R) is equal at R=2 and R=4).  An odd
+    final bit runs with bitB == bitA: digit in {0, 3}, streams 1 and 2
+    empty (their windows write one minimal row per block).
+    """
+    _WSHRINK = wshrink and _WSHRINK_ENV
+    subl = block // LANES
+    win = block + TILE
+    subw = win // LANES
+    nbits_row = (subw - 1).bit_length()
+    ru = subl + RU_PAD
+    R = 4
+
+    def kernel(sc_ref, *refs):
+        # sc_ref (SMEM): [n_blocks, bitA, bitB, B1, B2, B3]
+        # refs: prev[4][nv] | out[4][nv], cnt_out |
+        #   buf[4][nv] (2, ru, L), win[4][nv] (NSLOT, subw, L),
+        #   sem_d (2, 4*nv), sem_w[4] (NSLOT, nv)
+        k = 0
+        prev = [refs[k + t * nv : k + (t + 1) * nv] for t in range(R)]
+        k += R * nv
+        outs = [refs[k + t * nv : k + (t + 1) * nv] for t in range(R)]
+        k += R * nv
+        cnt_out = refs[k]; k += 1
+        bufs = [refs[k + t * nv : k + (t + 1) * nv] for t in range(R)]
+        k += R * nv
+        wins = [refs[k + t * nv : k + (t + 1) * nv] for t in range(R)]
+        k += R * nv
+        sem_d = refs[k]; k += 1
+        sem_w = refs[k : k + R]
+
+        n_blocks = sc_ref[0]
+        bitA = sc_ref[1]
+        bitB = sc_ref[2]
+        nrow_total = n_blocks * jnp.int32(subl)
+        B = [jnp.int32(0), sc_ref[3], sc_ref[4], sc_ref[5]]
+        Bend = B[1:] + [nrow_total * jnp.int32(LANES)]
+
+        ii = lax.broadcasted_iota
+        t128 = (
+            (ii(jnp.int32, (LANES, LANES), 0) <= ii(jnp.int32, (LANES, LANES), 1))
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        ones128 = jnp.ones((LANES, LANES), jnp.bfloat16)
+        lstrict = (
+            (ii(jnp.int32, (subl, subl), 1) < ii(jnp.int32, (subl, subl), 0))
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        widx8 = ii(jnp.int32, (HEADR, LANES), 0) * LANES + ii(
+            jnp.int32, (HEADR, LANES), 1
+        )
+        lane_b = ii(jnp.int32, (subl, LANES), 1)
+        row_b = ii(jnp.int32, (subl, LANES), 0)
+        flat_b = row_b * jnp.int32(LANES) + lane_b
+
+        cap_rows = jnp.int32(prev[0][0].shape[0])
+
+        def any_t(t, i):
+            return ((i + jnp.int32(1)) * jnp.int32(block) > B[t]) & (
+                i * jnp.int32(block) < Bend[t]
+            )
+
+        def rd_t(t, i, p):
+            m = lax.rem(i, jnp.int32(2))
+            u0 = i * jnp.int32(subl) - lax.div(B[t], jnp.int32(LANES)) - jnp.int32(1)
+            u0c = jnp.clip(u0, jnp.int32(0), cap_rows - jnp.int32(ru))
+            return pltpu.make_async_copy(
+                prev[t][p].at[pl.ds(u0c, ru), :],
+                bufs[t][p].at[m],
+                sem_d.at[m, jnp.int32(t * nv + p)],
+            )
+
+        def start_reads(i):
+            for t in range(R):
+                @pl.when(any_t(t, i))
+                def _(t=t):
+                    for p in range(nv):
+                        rd_t(t, i, p).start()
+
+        def wait_reads(i):
+            for t in range(R):
+                @pl.when(any_t(t, i))
+                def _(t=t):
+                    for p in range(nv):
+                        rd_t(t, i, p).wait()
+
+        def stitched(i, m):
+            fg_lo = flat_b + i * jnp.int32(block)
+            outsv = [None] * nv
+            for t in range(R):
+                c0l = lax.rem(B[t], jnp.int32(LANES))
+                u0 = (
+                    i * jnp.int32(subl)
+                    - lax.div(B[t], jnp.int32(LANES))
+                    - jnp.int32(1)
+                )
+                u0c = jnp.clip(u0, jnp.int32(0), cap_rows - jnp.int32(ru))
+                delta = u0 - u0c
+                s_a = lax.rem(
+                    lax.rem(-delta - jnp.int32(1), jnp.int32(ru)) + jnp.int32(ru),
+                    jnp.int32(ru),
+                )
+                lane_lt = lane_b < c0l
+                for p in range(nv):
+                    llu = pltpu.roll(bufs[t][p][m], c0l, 1)
+                    a = pltpu.roll(llu, s_a, 0)
+                    b = pltpu.roll(a, jnp.int32(1), 0)
+                    v = jnp.where(lane_lt, b[:subl, :], a[:subl, :])
+                    if t == 0:
+                        outsv[p] = v
+                    else:
+                        outsv[p] = jnp.where(fg_lo >= B[t], v, outsv[p])
+            return outsv
+
+        def wr(t, i, off, p, rows=None):
+            s = lax.rem(i, jnp.int32(NSLOT))
+            aligned_row = pl.multiple_of(
+                lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            if rows is None:
+                return pltpu.make_async_copy(
+                    wins[t][p].at[s],
+                    outs[t][p].at[pl.ds(aligned_row, subw), :],
+                    sem_w[t].at[s, jnp.int32(p)],
+                )
+            return pltpu.make_async_copy(
+                wins[t][p].at[s, pl.ds(jnp.int32(0), rows), :],
+                outs[t][p].at[pl.ds(aligned_row, rows), :],
+                sem_w[t].at[s, jnp.int32(p)],
+            )
+
+        start_reads(jnp.int32(0))
+
+        def side_move(t, i, s, sp, off, off_prev, C, rowoff_i, cntb, data,
+                      blockcnt, rows_prev):
+            aligned_row = pl.multiple_of(
+                lax.div(off, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            ar_prev = pl.multiple_of(
+                lax.div(off_prev, jnp.int32(TILE)) * jnp.int32(HEADR), HEADR
+            )
+            shift = off - aligned_row * jnp.int32(LANES)
+            delta = pl.multiple_of(aligned_row - ar_prev, HEADR)
+            pheads = [wins[t][p][sp, pl.ds(delta, HEADR), :] for p in range(nv)]
+
+            base = shift + rowoff_i
+            jp = (lane_b - base) & jnp.int32(127)
+            c63 = C[:, 63:64]
+            pos = jnp.where(c63 <= jp, jnp.int32(64), jnp.int32(0))
+            probe2 = jnp.where(pos == jnp.int32(64), C[:, 95:96], C[:, 31:32])
+            pos = pos + jnp.where(probe2 <= jp, jnp.int32(32), jnp.int32(0))
+            for kk in (16, 8, 4, 2, 1):
+                cval = taa_lanes(C, pos + jnp.int32(kk - 1))
+                pos = pos + jnp.where(cval <= jp, jnp.int32(kk), jnp.int32(0))
+            src = jnp.minimum(pos, jnp.int32(127))
+            live = jp < cntb
+            destrow = (base + jp) >> jnp.int32(7)
+            drow = row_b + jnp.int32(HEADR) - destrow
+            rem_b = jnp.where(live, drow, jnp.zeros_like(drow))
+
+            cur = [
+                jnp.concatenate(
+                    [wins[t][p][s, :HEADR, :], taa_lanes(data[p], src)], axis=0
+                )
+                for p in range(nv)
+            ]
+            rem = jnp.concatenate(
+                [jnp.zeros((HEADR, LANES), jnp.int32), rem_b], axis=0
+            )
+            for st in range(nbits_row):
+                bit = 1 << st
+                nxt_rem = _flat_roll_left(rem, bit * LANES)
+                moved_in = ((nxt_rem >> st) & 1) == 1
+                my_move = ((rem >> st) & 1) == 1
+                cur = [
+                    jnp.where(moved_in, _flat_roll_left(c, bit * LANES), c)
+                    for c in cur
+                ]
+                rem = jnp.where(
+                    moved_in,
+                    nxt_rem - bit,
+                    jnp.where(my_move, jnp.zeros_like(rem), rem),
+                )
+
+            take_prev = widx8 < shift
+            for p in range(nv):
+                head = jnp.where(take_prev, pheads[p], cur[p][:HEADR, :])
+                wins[t][p][s] = jnp.concatenate(
+                    [head, cur[p][HEADR:, :]], axis=0
+                )
+
+            rows = None
+            if _WSHRINK:
+                rows = jnp.maximum(
+                    lax.div(shift + blockcnt + jnp.int32(127), jnp.int32(128)),
+                    jnp.int32(1),
+                )
+
+            @pl.when(i > 0)
+            def _():
+                for p in range(nv):
+                    wr(t, i - 1, off_prev, p,
+                       rows_prev if _WSHRINK else None).wait()
+
+            for p in range(nv):
+                wr(t, i, off, p, rows).start()
+            return rows if _WSHRINK else jnp.int32(subw)
+
+        def body(i, state):
+            offs, off_prevs, rows_prevs = state
+            s = lax.rem(i, jnp.int32(NSLOT))
+            sp = lax.rem(i + jnp.int32(NSLOT - 1), jnp.int32(NSLOT))
+            m = lax.rem(i, jnp.int32(2))
+
+            wait_reads(i)
+            data = stitched(i, m)
+            key = data[0]
+            digit = ((key >> bitA) & jnp.int32(1)) + (
+                ((key >> bitB) & jnp.int32(1)) * jnp.int32(2)
+            )
+
+            new_offs, new_prevs, new_rows = [], [], []
+            for d in range(R):
+                sel = jnp.where(
+                    digit == jnp.int32(d),
+                    jnp.ones((subl, LANES), jnp.int32),
+                    jnp.zeros((subl, LANES), jnp.int32),
+                )
+                self16 = sel.astype(jnp.float32).astype(jnp.bfloat16)
+                within = jnp.dot(
+                    self16, t128, preferred_element_type=jnp.float32
+                )
+                rowsum = jnp.dot(
+                    self16, ones128, preferred_element_type=jnp.float32
+                )
+                rowoff = jnp.dot(
+                    lstrict, rowsum.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                cnt = jnp.sum(self16.astype(jnp.float32)).astype(jnp.int32)
+                if d == 0:
+                    # start reads for i+1 once the first digit's control is
+                    # issued (all digits share the stitched data)
+                    @pl.when(i + 1 < n_blocks)
+                    def _():
+                        start_reads(i + 1)
+                rows_d = side_move(
+                    d, i, s, sp, offs[d], off_prevs[d],
+                    within.astype(jnp.int32), rowoff.astype(jnp.int32),
+                    rowsum.astype(jnp.int32), data, cnt, rows_prevs[d],
+                )
+                new_offs.append(offs[d] + cnt)
+                new_prevs.append(offs[d])
+                new_rows.append(rows_d)
+            return tuple(new_offs), tuple(new_prevs), tuple(new_rows)
+
+        zero4 = tuple(jnp.int32(0) for _ in range(R))
+        offs, off_prevs, rows_lasts = lax.fori_loop(
+            jnp.int32(0), n_blocks, body,
+            (zero4, zero4, tuple(jnp.int32(subw) for _ in range(R))),
+        )
+        for t in range(R):
+            for p in range(nv):
+                wr(t, n_blocks - 1, off_prevs[t], p,
+                   rows_lasts[t] if _WSHRINK else None).wait()
+        # cumulative boundaries of the output streams at lanes 0, 1, 2
+        li = ii(jnp.int32, (HEADR, LANES), 1)
+        c1 = offs[0]
+        c2 = offs[0] + offs[1]
+        c3 = offs[0] + offs[1] + offs[2]
+        cnt_out[...] = jnp.where(
+            li == 0, c1, jnp.where(li == 1, c2, jnp.where(li == 2, c3, 0))
+        )
+
+    return kernel
+
+
 def _pick_block(n: int) -> int:
     block = MAX_BLOCK
     while n % block:
@@ -382,6 +666,79 @@ def cap_rows_for(n: int) -> int:
     kernel: one window of overrun beyond the data rows)."""
     block = _pick_block(n)
     return (n + block + TILE) // LANES + (block + TILE) // LANES
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _radix4_pass_call(streams, bounds, bitA, bitB, n, interpret):
+    """One 4-stream radix pass.  streams: tuple of 4 tuples of nv cap-shaped
+    i32 planes; bounds: 3 cumulative input boundaries (device i32).  Returns
+    (out_streams, out_bounds) with the output digit streams and their
+    cumulative boundaries."""
+    streams = tuple(tuple(s) for s in streams)
+    nv = len(streams[0])
+    assert 1 <= nv <= 8
+    block = _pick_block(n)
+    nb = n // block
+    subl = block // LANES
+    subw = (block + TILE) // LANES
+    ru = subl + RU_PAD
+    kernel = _make_radix4_kernel(block, nv, wshrink=not interpret)
+
+    scratch = (
+        [pltpu.VMEM((2, ru, LANES), jnp.int32) for _ in range(4 * nv)]
+        + [pltpu.VMEM((NSLOT, subw, LANES), jnp.int32) for _ in range(4 * nv)]
+        + [pltpu.SemaphoreType.DMA((2, 4 * nv))]
+        + [pltpu.SemaphoreType.DMA((NSLOT, nv)) for _ in range(4)]
+    )
+    out_rows = cap_rows_for(n)
+    out_shapes = [
+        jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)
+        for _ in range(4 * nv)
+    ] + [jax.ShapeDtypeStruct((HEADR, LANES), jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 * nv) + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ]
+    sc = jnp.stack(
+        [
+            jnp.int32(nb),
+            jnp.asarray(bitA, jnp.int32),
+            jnp.asarray(bitB, jnp.int32),
+            jnp.asarray(bounds[0], jnp.int32),
+            jnp.asarray(bounds[1], jnp.int32),
+            jnp.asarray(bounds[2], jnp.int32),
+        ]
+    )
+    flat_in = [p for s in streams for p in s]
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (4 * nv),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(sc, *flat_in)
+    cnts = outs[-1]
+    new_streams = tuple(
+        tuple(outs[t * nv : (t + 1) * nv]) for t in range(4)
+    )
+    return new_streams, (cnts[0, 0], cnts[0, 1], cnts[0, 2])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "k", "interpret"), donate_argnums=(0,)
+)
+def _radix4_multipass_call(streams, bounds, bits, n, k, interpret):
+    """k fused 4-stream passes (2k bits) in one dispatch; bits is a (2k,)
+    i32 array of (bitA, bitB) pairs.  Input streams are DONATED (see
+    `_radix_multipass_call`)."""
+    for j in range(k):
+        streams, bounds = _radix4_pass_call(
+            streams, bounds, bits[2 * j], bits[2 * j + 1], n=n,
+            interpret=interpret,
+        )
+    return streams, bounds
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
@@ -486,25 +843,79 @@ def _radix_multipass_call(planesS, planesU, c0, bits, n, k, interpret):
     return planesS, planesU, c0
 
 
-def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None):
+def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None,
+                           precapped: bool = False):
     """Stable LSB radix sort of flat 32-bit planes by plane 0's bits,
-    returning the RAW chain state (S_planes, U_planes, c0): the sorted order
-    is concat(S[:c0], U[:n-c0]) per plane.  Callers fuse their own decode /
-    masking into the combine so the chain epilogue is ONE pass, not two.
+    returning the RAW chain state (streams, bounds): streams is a tuple of R
+    stream-buffer tuples (one buffer per plane) and bounds the R-1 cumulative
+    stream boundaries; the sorted order is the boundary-delimited stream
+    concatenation per plane (see `combine_parts`).  Callers fuse their own
+    decode / masking into the combine so the chain epilogue is ONE pass.
 
     planes: tuple of (n,) 32-bit arrays (plane 0 = the key in an unsigned
     bit-sortable encoding); bits: iterable of bit positions, LSB-first;
-    n % 8192 == 0.  Runs len(bits) identical async dispatches of ONE
-    compiled pass program.
+    n % 8192 == 0.  Bits run PAIRWISE through the 4-stream 2-bit pass
+    kernel (an odd final bit duplicates itself: digit in {0, 3}), with up
+    to CHUNK passes fused per dispatch.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     planes = tuple(planes)
     rows = cap_rows_for(n)
-    S = tuple(_to_cap(p, rows) for p in planes)
+    bits = [int(b) for b in bits]
+    if not bits:
+        S = tuple(_to_cap(p, rows) for p in planes)
+        return (S,), ()
+    # HBM-aware radix selection: the 4-stream chain holds 4 x nplanes cap
+    # buffers (~16 * n * nplanes bytes of steady state) — beyond ~11 GB that
+    # cannot fit a 16 GB v5e alongside pass transients, so huge inputs ride
+    # the 2-stream kernel (half the buffers, ~24% slower per bit).
+    # ARROW_TPU_RADIX_R forces 2 or 4 for A/B.
+    forced_r = _os.environ.get("ARROW_TPU_RADIX_R")
+    state_bytes = 4 * len(planes) * rows * LANES * 4
+    use4 = forced_r != "2" and (forced_r == "4" or state_bytes <= 11e9)
+    if not use4:
+        return _chain_parts_2way(planes, bits, n, rows, interpret, precapped)
+    S = tuple(planes) if precapped else tuple(_to_cap(p, rows) for p in planes)
+    # pair the bits LSB-first; an odd tail pairs with itself
+    pairs = [
+        (bits[i], bits[i + 1] if i + 1 < len(bits) else bits[i])
+        for i in range(0, len(bits), 2)
+    ]
+    streams = (S, S, S, S)
+    nn = jnp.int32(n)
+    bounds = (nn, nn, nn)  # everything in stream 0
+    # first pass un-fused: its four input streams alias ONE buffer set,
+    # which the donating multipass call must never see
+    streams, bounds = _radix4_pass_call(
+        streams, bounds, jnp.int32(pairs[0][0]), jnp.int32(pairs[0][1]),
+        n=n, interpret=interpret,
+    )
+    i = 1
+    chunk = max(CHUNK, 1)
+    while i < len(pairs):
+        group = pairs[i : i + chunk]
+        i += len(group)
+        if len(group) == 1:
+            streams, bounds = _radix4_pass_call(
+                streams, bounds, jnp.int32(group[0][0]),
+                jnp.int32(group[0][1]), n=n, interpret=interpret,
+            )
+        else:
+            flat_bits = [b for pr in group for b in pr]
+            streams, bounds = _radix4_multipass_call(
+                streams, bounds, jnp.asarray(flat_bits, jnp.int32), n,
+                len(group), interpret,
+            )
+    return streams, bounds
+
+
+def _chain_parts_2way(planes, bits, n, rows, interpret, precapped=False):
+    """The 2-stream chain (half the HBM steady state of the 4-stream form),
+    in the same (streams, bounds) return format."""
+    S = tuple(planes) if precapped else tuple(_to_cap(p, rows) for p in planes)
     U = S
     c0 = jnp.int32(n)
-    bits = [int(b) for b in bits]
     first = True
     i = 0
     chunk = max(CHUNK, 1)
@@ -523,16 +934,34 @@ def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None):
                 interpret,
             )
         first = False
-    return S, U, c0
+    return (S, U), (c0,)
 
 
-def combine_parts(s, u, c0, n: int):
-    """concat(S[:c0], U[:n-c0]) for one cap-shaped plane pair, traceable
-    (use inside a fused epilogue program)."""
-    sf = s.reshape(-1)[:n]
-    uf = u.reshape(-1)[:n]
+def combine_parts(plane_streams, bounds, n: int):
+    """Boundary-delimited stream concatenation for ONE plane's stream
+    buffers (cap-shaped), traceable — use inside a fused epilogue program.
+    plane_streams: tuple of R buffers; bounds: R-1 cumulative boundaries."""
     idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
-    return jnp.where(idx < c0, sf, jnp.roll(uf, c0))
+    out = plane_streams[0].reshape(-1)[:n]
+    for t in range(1, len(plane_streams)):
+        b = bounds[t - 1]
+        out = jnp.where(
+            idx < b, out, jnp.roll(plane_streams[t].reshape(-1)[:n], b)
+        )
+    return out
+
+
+def plane_parts(streams, p: int):
+    """The per-stream buffers of plane p: pairs with `combine_parts`."""
+    return tuple(s[p] for s in streams)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "out_dtype"))
+def _combine_streams(plane_streams, bounds, n, out_dtype):
+    out = combine_parts(plane_streams, bounds, n)
+    if out.dtype != jnp.dtype(out_dtype):
+        out = lax.bitcast_convert_type(out, jnp.dtype(out_dtype))
+    return out
 
 
 def radix_sort_chain(planes, bits, n: int, interpret: bool | None = None):
@@ -540,9 +969,10 @@ def radix_sort_chain(planes, bits, n: int, interpret: bool | None = None):
     planes with input dtypes (plane 0 still encoded)."""
     planes = tuple(planes)
     dtypes = [p.dtype for p in planes]
-    S, U, c0 = radix_sort_chain_parts(planes, bits, n, interpret)
+    streams, bounds = radix_sort_chain_parts(planes, bits, n, interpret)
     return tuple(
-        _combine(s, u, c0, n, jnp.dtype(d)) for s, u, d in zip(S, U, dtypes)
+        _combine_streams(plane_parts(streams, p), bounds, n, jnp.dtype(d))
+        for p, d in enumerate(dtypes)
     )
 
 

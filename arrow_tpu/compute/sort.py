@@ -320,13 +320,16 @@ def _radix_finish_program(spec):
     is64 = kdt.itemsize == 8
     is_f32 = kdt == jnp.float32
 
-    def run(c0, *parts):
+    def run(bounds, *parts):
         from .kernels.radix import combine_parts
 
-        half = len(parts) // 2
+        npl = len(parts) // (len(bounds) + 1)
+        r_ = len(parts) // npl
         planes = [
-            combine_parts(s, u, c0, n)
-            for s, u in zip(parts[:half], parts[half:])
+            combine_parts(
+                tuple(parts[t * npl + p] for t in range(r_)), bounds, n
+            )
+            for p in range(npl)
         ]
         padded = length < n
         live = (
@@ -413,12 +416,16 @@ def _sort_radix(keys, payload_cols, descending: bool = False):
         # hi limb becomes plane 0 for the second chain (LSD across limbs)
         out = radix_sort_chain(planes, bits_lo, n)
         perm = [1, 0] + list(range(2, len(out)))
-        S, U, c0 = radix_sort_chain_parts([out[i] for i in perm], bits_hi, n)
-        S = [S[perm.index(i)] for i in range(len(S))]
-        U = [U[perm.index(i)] for i in range(len(U))]
+        streams, bounds = radix_sort_chain_parts(
+            [out[i] for i in perm], bits_hi, n
+        )
+        streams = tuple(
+            tuple(st[perm.index(i)] for i in range(len(st))) for st in streams
+        )
     else:
-        S, U, c0 = radix_sort_chain_parts(planes, bits_lo, n)
-    key_out, results = _radix_finish_program(spec)(c0, *S, *U)
+        streams, bounds = radix_sort_chain_parts(planes, bits_lo, n)
+    flat = [p for st in streams for p in st]
+    key_out, results = _radix_finish_program(spec)(tuple(bounds), *flat)
     out_keys = make_array(key_out, None, keys.length, keys.dtype, keys.device)
     out_cols = [
         make_array(d, v, c.length, c.dtype, c.device)

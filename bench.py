@@ -301,32 +301,54 @@ def main():
             radix_sort_chain_parts,
         )
 
-        k5 = gen_u32(jax.random.key(20), n5, 1 << 31)
-        p5 = gen_u32(jax.random.key(21), n5, 1 << 31)
-        kp = jax.jit(lambda x: lax.bitcast_convert_type(x, jnp.int32))(k5)
-        pp = jax.jit(lambda x: lax.bitcast_convert_type(x, jnp.int32))(p5)
-        ksum = int(jnp.sum(k5, dtype=jnp.uint64))
-        del k5, p5
+        from arrow_tpu.compute.kernels.radix import _to_cap, cap_rows_for
 
-        def run():
-            S, U, c0 = radix_sort_chain_parts((kp, pp), list(range(31)), n5)
-            np.asarray(S[0][:1])
-            return S, U, c0
+        rows5 = cap_rows_for(n5)
 
-        S, U, c0 = run()  # warm
+        def make_inputs(seed):
+            # HBM discipline at 2^29: the raw generator outputs must die
+            # before the first pass (capped pair 4.3 GB + pass outputs
+            # 8.6 GB + originals 4.3 GB would exceed 16 GB)
+            k5 = gen_u32(jax.random.key(seed), n5, 1 << 31)
+            ks = int(jnp.sum(k5, dtype=jnp.uint64))
+            kc = _to_cap(lax.bitcast_convert_type(k5, jnp.int32), rows5)
+            del k5
+            p5 = gen_u32(jax.random.key(seed + 1), n5, 1 << 31)
+            pc = _to_cap(lax.bitcast_convert_type(p5, jnp.int32), rows5)
+            del p5
+            jax.block_until_ready((kc, pc))
+            return kc, pc, ks
+
+        def run(kc, pc):
+            st, bd = radix_sort_chain_parts(
+                (kc, pc), list(range(31)), n5, precapped=True
+            )
+            np.asarray(st[0][0][:1])
+            return st, bd
+
+        kc, pc, ksum = make_inputs(20)
+        streams, bounds = run(kc, pc)  # warm
+        del streams
         t0 = time.time()
-        S, U, c0 = run()
+        streams, bounds = run(kc, pc)
         secs = time.time() - t0
+        del kc, pc
         # correctness: checksum preserved + sorted head sample
-        c0i = int(c0)
-        head = np.asarray(S[0].reshape(-1)[: 1 << 16]).astype(np.uint32)
+        bs = [0] + [int(b) for b in bounds] + [n5]
+        head = np.asarray(streams[0][0].reshape(-1)[: 1 << 16]).astype(np.uint32)
         assert (np.diff(head.astype(np.int64)) >= 0).all(), "512m head unsorted"
-        s_sum = int(jnp.sum(S[0].reshape(-1)[:c0i].astype(jnp.uint32), dtype=jnp.uint64))
-        u_sum = int(
-            jnp.sum(U[0].reshape(-1)[: n5 - c0i].astype(jnp.uint32), dtype=jnp.uint64)
-        )
-        assert (s_sum + u_sum) & ((1 << 64) - 1) == ksum, "512m checksum"
-        del S, U
+        tot = 0
+        for t in range(len(streams)):
+            seg = bs[t + 1] - bs[t]
+            if seg:
+                tot += int(
+                    jnp.sum(
+                        streams[t][0].reshape(-1)[:seg].astype(jnp.uint32),
+                        dtype=jnp.uint64,
+                    )
+                )
+        assert tot & ((1 << 64) - 1) == ksum, "512m checksum"
+        del streams
         record(
             "sort_u32_kv_512m",
             n5,
