@@ -582,7 +582,7 @@ def _radix_groupby_prep(spec: tuple):
 def _radix_groupby_post(spec: tuple):
     (n, signed, agg_spec) = spec
 
-    def run(bounds, *parts):
+    def run(bounds, parts):
         from .kernels.radix import combine_parts
 
         npl = len(parts) // (len(bounds) + 1)
@@ -608,7 +608,8 @@ def _radix_groupby_post(spec: tuple):
             presorted=True,
         )
 
-    return jax.jit(run)
+    # chain stream buffers donated (see sort._radix_finish_program)
+    return jax.jit(run, donate_argnums=(1,))
 
 
 def _hash_aggregate_radix(keys, aggregations):
@@ -662,8 +663,9 @@ def _hash_aggregate_radix(keys, aggregations):
     if len(bits) > 28 and not forced:
         return None
     streams, bounds = radix_sort_chain_parts(planes, bits, n)
-    flat = [p_ for st in streams for p_ in st]
-    outs = _radix_groupby_post(spec)(tuple(bounds), *flat)
+    flat = tuple(p_ for st in streams for p_ in st)
+    del streams
+    outs = _radix_groupby_post(spec)(tuple(bounds), flat)
     num_groups, out_keys, out_aggs = outs[0], outs[1], outs[2]
     ng = int(num_groups)
     device = keys.device

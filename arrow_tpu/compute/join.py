@@ -332,7 +332,10 @@ def _join_plan_post(spec: tuple):
         m_eff = jnp.sum(runs_mask, dtype=jnp.int32)
         return total, m_eff, sorder, ends_l, prow_l, lo_l
 
-    return jax.jit(run)
+    # the co-sort operands (radix stream parts or lax-sorted planes) are
+    # intermediates the caller never reuses — donate them so the post
+    # program's scans/compactions can reuse their HBM
+    return jax.jit(run, donate_argnums=(0, 1))
 
 
 def _join_plan(spec, bkeys, bvalidity, pkeys, pvalidity):

@@ -646,8 +646,11 @@ def _make_radix4_kernel(block: int, nv: int, wshrink: bool):
         c1 = offs[0]
         c2 = offs[0] + offs[1]
         c3 = offs[0] + offs[1] + offs[2]
+        zero_p = jnp.zeros((HEADR, LANES), jnp.int32)
         cnt_out[...] = jnp.where(
-            li == 0, c1, jnp.where(li == 1, c2, jnp.where(li == 2, c3, 0))
+            li == 0,
+            zero_p + c1,
+            jnp.where(li == 1, zero_p + c2, jnp.where(li == 2, zero_p + c3, zero_p)),
         )
 
     return kernel
@@ -866,14 +869,15 @@ def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None,
     if not bits:
         S = tuple(_to_cap(p, rows) for p in planes)
         return (S,), ()
-    # HBM-aware radix selection: the 4-stream chain holds 4 x nplanes cap
-    # buffers (~16 * n * nplanes bytes of steady state) — beyond ~11 GB that
-    # cannot fit a 16 GB v5e alongside pass transients, so huge inputs ride
-    # the 2-stream kernel (half the buffers, ~24% slower per bit).
-    # ARROW_TPU_RADIX_R forces 2 or 4 for A/B.
+    # Radix width selection: the 4-stream (2-bit) kernel was built to halve
+    # per-bit DMA traffic, but MEASURED on the v5e (r5) it runs 16.5 ms/bit
+    # vs the 2-stream kernel's 14.8 — the per-stream window maintenance and
+    # per-digit rank matmuls outweigh the read/write saving — and it doubles
+    # the chain's HBM steady state (4 x nplanes cap buffers; OOMs 2^27 x 2
+    # planes alongside ~2 GB of caller context).  The 2-stream chain is
+    # therefore the default; ARROW_TPU_RADIX_R=4 opts the experiment in.
     forced_r = _os.environ.get("ARROW_TPU_RADIX_R")
-    state_bytes = 4 * len(planes) * rows * LANES * 4
-    use4 = forced_r != "2" and (forced_r == "4" or state_bytes <= 11e9)
+    use4 = forced_r == "4"
     if not use4:
         return _chain_parts_2way(planes, bits, n, rows, interpret, precapped)
     S = tuple(planes) if precapped else tuple(_to_cap(p, rows) for p in planes)

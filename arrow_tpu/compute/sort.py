@@ -311,16 +311,34 @@ def _radix_prep_program(spec):
 
 
 @functools.lru_cache(maxsize=None)
-def _radix_finish_program(spec):
-    """Fused chain epilogue: ONE pass per plane doing the (S, U, c0) combine
-    + key decode + zero-tail (r5: the separate combine-then-finish sweeps
-    cost ~2x the epilogue traffic and showed up as ~15% of the 134M sort)."""
+def _plane_ranges(spec):
+    """Chain-plane index ranges: (key_range, [per-column ranges])."""
+    n, length, key_dtype_str, descending, colspec = spec
+    kdt = jnp.dtype(key_dtype_str)
+    nk = (2 if kdt.itemsize == 8 else 1) + (1 if kdt == jnp.float32 else 0)
+    idx = nk
+    col_rngs = []
+    for kind, has_validity, _ in colspec:
+        w = (2 if kind == "w64" else 1) + (1 if has_validity else 0)
+        col_rngs.append((idx, idx + w))
+        idx += w
+    return (0, nk), col_rngs
+
+
+@functools.lru_cache(maxsize=None)
+def _radix_finish_group(spec, gi: int):
+    """Per-plane-group chain epilogue: the stream combine + decode + zero
+    tail for ONE plane group (gi == -1: the key; else column gi), fused in
+    one pass.  Split per group (r5): a single whole-batch epilogue program
+    held every chain stream buffer live across its own intermediates and
+    OOMed a 16 GB chip at 2^27 x 2 planes; per-group dispatches let the
+    caller drop each group's stream buffers as it goes."""
     n, length, key_dtype_str, descending, colspec = spec
     kdt = jnp.dtype(key_dtype_str)
     is64 = kdt.itemsize == 8
     is_f32 = kdt == jnp.float32
 
-    def run(bounds, *parts):
+    def run(bounds, parts):
         from .kernels.radix import combine_parts
 
         npl = len(parts) // (len(bounds) + 1)
@@ -345,42 +363,44 @@ def _radix_finish_program(spec):
             return (b & live) if padded else b
 
         it = iter(planes)
-        if is64:
-            lo, hi = next(it), next(it)
-            if descending:
-                lo, hi = ~lo, ~hi
-            if kdt == jnp.int64:
-                hi = hi ^ jnp.int32(-0x80000000)
-            key = lax.bitcast_convert_type(jnp.stack([lo, hi], axis=-1), kdt)
-        elif is_f32:
-            next(it)  # encoded plane: the raw data plane follows
-            key = lax.bitcast_convert_type(next(it), jnp.float32)
-        else:
-            key = _radix_decode_key32(next(it), kdt, descending)
-        key = mask(key)
-        results = []
-        for kind, has_validity, dtype_str in colspec:
-            if kind == "bool":
-                results.append(B.pack_bits(maskb(next(it) != 0)))
-            elif kind == "w64":
+        if gi == -1:
+            if is64:
                 lo, hi = next(it), next(it)
-                w = lax.bitcast_convert_type(
+                if descending:
+                    lo, hi = ~lo, ~hi
+                if kdt == jnp.int64:
+                    hi = hi ^ jnp.int32(-0x80000000)
+                key = lax.bitcast_convert_type(
+                    jnp.stack([lo, hi], axis=-1), kdt
+                )
+            elif is_f32:
+                next(it)  # encoded plane: the raw data plane follows
+                key = lax.bitcast_convert_type(next(it), jnp.float32)
+            else:
+                key = _radix_decode_key32(next(it), kdt, descending)
+            return mask(key)
+        kind, has_validity, dtype_str = colspec[gi]
+        if kind == "bool":
+            data = B.pack_bits(maskb(next(it) != 0))
+        elif kind == "w64":
+            lo, hi = next(it), next(it)
+            data = mask(
+                lax.bitcast_convert_type(
                     jnp.stack([lo, hi], axis=-1), jnp.dtype(dtype_str)
                 )
-                results.append(mask(w))
-            else:
-                o = lax.bitcast_convert_type(next(it), jnp.int32)
-                o = (
-                    o.astype(jnp.dtype(dtype_str))
-                    if kind == "small"
-                    else lax.bitcast_convert_type(o, jnp.dtype(dtype_str))
-                )
-                results.append(mask(o))
-            if has_validity:
-                results.append(B.pack_bits(maskb(next(it) != 0)))
-            else:
-                results.append(None)
-        return key, results
+            )
+        else:
+            o = lax.bitcast_convert_type(next(it), jnp.int32)
+            o = (
+                o.astype(jnp.dtype(dtype_str))
+                if kind == "small"
+                else lax.bitcast_convert_type(o, jnp.dtype(dtype_str))
+            )
+            data = mask(o)
+        validity = (
+            B.pack_bits(maskb(next(it) != 0)) if has_validity else None
+        )
+        return data, validity
 
     return jax.jit(run)
 
@@ -424,13 +444,26 @@ def _sort_radix(keys, payload_cols, descending: bool = False):
         )
     else:
         streams, bounds = radix_sort_chain_parts(planes, bits_lo, n)
-    flat = [p for st in streams for p in st]
-    key_out, results = _radix_finish_program(spec)(tuple(bounds), *flat)
+    key_rng, col_rngs = _plane_ranges(spec)
+    streams = [list(st) for st in streams]
+    bounds = tuple(bounds)
+
+    def take_group(rng):
+        parts = tuple(
+            streams[t][p] for t in range(len(streams))
+            for p in range(rng[0], rng[1])
+        )
+        for t in range(len(streams)):  # drop refs as groups finish
+            for p in range(rng[0], rng[1]):
+                streams[t][p] = None
+        return parts
+
+    key_out = _radix_finish_group(spec, -1)(bounds, take_group(key_rng))
     out_keys = make_array(key_out, None, keys.length, keys.dtype, keys.device)
-    out_cols = [
-        make_array(d, v, c.length, c.dtype, c.device)
-        for c, d, v in zip(payload_cols, results[::2], results[1::2])
-    ]
+    out_cols = []
+    for ci, (c, rng) in enumerate(zip(payload_cols, col_rngs)):
+        d, v = _radix_finish_group(spec, ci)(bounds, take_group(rng))
+        out_cols.append(make_array(d, v, c.length, c.dtype, c.device))
     return out_keys, out_cols
 
 

@@ -153,3 +153,18 @@ def test_radix_groupby_matches_sort_path(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(out["c"].values()), np.asarray(ref["c"].values())
     )
+
+
+def test_radix_4way_kernel_matches(monkeypatch):
+    # the 2-bit/4-stream pass kernel (opt-in: slower per bit on v5e but kept
+    # as a measured alternative) must agree with the default 2-stream chain
+    monkeypatch.setenv("ARROW_TPU_RADIX_R", "4")
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 300, N, dtype=np.uint32)
+    v = np.arange(N, dtype=np.uint32)
+    ka, va = _mk(dt.ArrowType.UINT32, k), _mk(dt.ArrowType.UINT32, v)
+    ok, ov = sort_by_key(ka, va, method="radix")
+    monkeypatch.delenv("ARROW_TPU_RADIX_R")
+    ref = jax.lax.sort([jnp.asarray(k), jnp.asarray(v)], num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(ok.values()), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(ov.values()), np.asarray(ref[1]))

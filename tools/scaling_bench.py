@@ -136,7 +136,9 @@ def launch(p: int, port: int, n_per: int, iters: int) -> dict:
                 text=True,
             )
         )
-    out, _ = procs[0].communicate(timeout=900)
+    out, _ = procs[0].communicate(
+        timeout=int(os.environ.get("SCALING_POINT_TIMEOUT", "900"))
+    )
     for q in procs[1:]:
         q.wait(timeout=60)
     for line in out.splitlines():
@@ -170,7 +172,17 @@ def main():
         all_results = {}
         for p in args.procs:
             t0 = time.time()
-            res = launch(p, base_port + p, n_per, args.iters)
+            try:
+                res = launch(p, base_port + p, n_per, args.iters)
+            except Exception as e:  # noqa: BLE001
+                # a wedged/oversubscribed point must not kill the sweep
+                # (the 2-vCPU host cannot run P=4 workers at 4M rows/shard
+                # inside any reasonable wall clock)
+                print(
+                    f"rows/shard={n_per} P={p} FAILED: {type(e).__name__}",
+                    file=sys.stderr, flush=True,
+                )
+                continue
             all_results[p] = res
             print(
                 f"rows/shard={n_per} P={p}: "
@@ -181,6 +193,8 @@ def main():
                 + f"  ({time.time()-t0:.0f}s)",
                 file=sys.stderr, flush=True,
             )
+        if not all_results:
+            continue
         points = {}
         base = all_results.get(1)
         for p, res in all_results.items():
