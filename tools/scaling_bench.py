@@ -123,10 +123,17 @@ def launch(p: int, port: int, n_per: int, iters: int) -> dict:
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = []
+    ncores = os.cpu_count() or 1
     for pid in range(p):
+        # pin each worker to ONE core: without this the P=1 baseline's XLA
+        # intra-op pool uses every host core, and "scaling efficiency" just
+        # measures the loss of that extra parallelism rather than the
+        # exchange layer (the target metric).  P > ncores points remain
+        # oversubscribed and are reported as such.
+        pin = ["taskset", "-c", str(pid % ncores)]
         procs.append(
             subprocess.Popen(
-                [
+                pin + [
                     sys.executable, os.path.abspath(__file__), "--worker",
                     str(p), str(pid), str(port), str(n_per), str(iters),
                 ],
