@@ -916,19 +916,29 @@ def radix_sort_chain_parts(planes, bits, n: int, interpret: bool | None = None,
 
 def _chain_parts_2way(planes, bits, n, rows, interpret, precapped=False):
     """The 2-stream chain (half the HBM steady state of the 4-stream form),
-    in the same (streams, bounds) return format."""
+    in the same (streams, bounds) return format.
+
+    Large states (S+U beyond ~6 GB) run SINGLE passes instead of fused
+    multipass chunks: a fused chunk's intermediate generations cannot alias
+    its arguments, and at 537M rows the chunk program alone exceeds HBM
+    (AOT: "program 8.00G + arguments 8.00G").  Donating the singles does
+    NOT help: XLA protects the aliased pallas outputs by COPYING all
+    inputs, re-adding the 8 GB as HLO temps (measured).  The honest
+    single-chip k+v maximum is where 8 cap buffers fit: n ~= 3*2^27.
+    """
     S = tuple(planes) if precapped else tuple(_to_cap(p, rows) for p in planes)
     U = S
     c0 = jnp.int32(n)
+    big_state = 2 * len(planes) * rows * LANES * 4 > 6e9
     first = True
     i = 0
-    chunk = max(CHUNK, 1)
+    chunk = 1 if big_state else max(CHUNK, 1)
     while i < len(bits):
         group = bits[i : i + (1 if first else chunk)]
         i += len(group)
         if len(group) == 1:
-            # also the mandatory first step: S and U alias one buffer there,
-            # which the donating multipass call must never see
+            # the first step always runs un-donated/un-fused: S and U alias
+            # one buffer there, which donation must never see
             S, U, c0 = _radix_pass_call(
                 S, U, c0, jnp.int32(group[0]), n=n, interpret=interpret
             )

@@ -285,18 +285,19 @@ def main():
 
     safe("sort_u32_kv", sort_full)
 
-    # ---- 512M-row single-chip sort point (VERDICT r4 #8) ------------------
-    # HBM math at n=2^29 (537M rows, u32 k+v): chain state = 4 cap-shaped
-    # planes x 2.15 GB = 8.6 GB; first-pass peak = aliased input pair
-    # (4.3 GB) + 4 outputs (8.6 GB) = 12.9 GB < 16 GB v5e HBM iff the raw
-    # generator outputs are freed first; later passes stay at 8.6 GB via
-    # input donation.  1B x (k+v) needs 17.2 GB of chain state alone -> the
-    # 1B configuration is the N-host run (virtual-mesh correctness:
-    # tools/dist_sort_1b.py).
-    def sort_512m():
+    # ---- ~400M-row single-chip sort point (VERDICT r4 #8) -----------------
+    # HBM math (v5e: 15.75 GB usable): one radix pass holds in + out state =
+    # 8 cap buffers x ~4(n+slack) bytes.  n = 2^29 (537M) needs 17.2 GB ->
+    # impossible (donation does not help: XLA copy-protects aliased pallas
+    # inputs, measured); n = 3*2^27 = 402M rows needs 12.9 GB -> the honest
+    # single-chip k+v maximum, with the raw generator buffers freed
+    # pre-pass and single (un-fused) pass dispatches.  1B x (k+v) needs
+    # 2x chain state beyond any of this -> the 1B configuration is the
+    # N-host run (virtual-mesh correctness: tools/dist_sort_1b.py).
+    def sort_402m():
         if jax.default_backend() != "tpu" or small:
             return
-        n5 = 1 << 29
+        n5 = 3 << 27
         from arrow_tpu.compute.kernels.radix import (
             radix_sort_chain_parts,
         )
@@ -350,15 +351,15 @@ def main():
         assert tot & ((1 << 64) - 1) == ksum, "512m checksum"
         del streams
         record(
-            "sort_u32_kv_512m",
+            "sort_u32_kv_402m",
             n5,
             secs,
             n5 * 16,
             ceiling=16.0 / (31 * 16 + 40),
-            ceiling_note="stable LSB radix at 537M rows (HBM-capacity-max single-chip k+v config)",
+            ceiling_note="stable LSB radix at 402M rows (HBM-capacity-max single-chip k+v config)",
         )
 
-    safe("sort_u32_kv_512m", sort_512m)
+    safe("sort_u32_kv_402m", sort_402m)
 
     # the prior rounds' bound for comparison (detail metric, not core)
     def sort_step(k, p):
