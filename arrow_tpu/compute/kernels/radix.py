@@ -809,19 +809,6 @@ def _to_cap(plane, rows):
     return jnp.pad(x, ((0, rows - n // LANES), (0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "out_dtype"))
-def _combine(planeS, planeU, c0, n, out_dtype):
-    """concat(S[:c0], U[:n-c0]) as a flat (n,) array (no zero-tail needed:
-    positions >= c0 select from the rolled U side)."""
-    s = planeS.reshape(-1)[:n]
-    u = planeU.reshape(-1)[:n]
-    idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
-    out = jnp.where(idx < c0, s, jnp.roll(u, c0))
-    if out_dtype != jnp.int32:
-        out = lax.bitcast_convert_type(out, jnp.dtype(out_dtype))
-    return out
-
-
 #: passes fused per dispatch: the axon tunnel costs ~8 ms of host latency
 #: PER jit dispatch (r5 device trace: a 31-pass chain carried ~250 ms of
 #: non-device time), so the chain groups up to CHUNK identical passes into
