@@ -285,81 +285,6 @@ def main():
 
     safe("sort_u32_kv", sort_full)
 
-    # ---- ~400M-row single-chip sort point (VERDICT r4 #8) -----------------
-    # HBM math (v5e: 15.75 GB usable): one radix pass holds in + out state =
-    # 8 cap buffers x ~4(n+slack) bytes.  n = 2^29 (537M) needs 17.2 GB ->
-    # impossible (donation does not help: XLA copy-protects aliased pallas
-    # inputs, measured); n = 3*2^27 = 402M rows needs 12.9 GB -> the honest
-    # single-chip k+v maximum, with the raw generator buffers freed
-    # pre-pass and single (un-fused) pass dispatches.  1B x (k+v) needs
-    # 2x chain state beyond any of this -> the 1B configuration is the
-    # N-host run (virtual-mesh correctness: tools/dist_sort_1b.py).
-    def sort_402m():
-        if jax.default_backend() != "tpu" or small:
-            return
-        n5 = 3 << 27
-        from arrow_tpu.compute.kernels.radix import (
-            radix_sort_chain_parts,
-        )
-
-        from arrow_tpu.compute.kernels.radix import _to_cap, cap_rows_for
-
-        rows5 = cap_rows_for(n5)
-
-        def make_inputs(seed):
-            # HBM discipline at 2^29: the raw generator outputs must die
-            # before the first pass (capped pair 4.3 GB + pass outputs
-            # 8.6 GB + originals 4.3 GB would exceed 16 GB)
-            k5 = gen_u32(jax.random.key(seed), n5, 1 << 31)
-            ks = int(jnp.sum(k5, dtype=jnp.uint64))
-            kc = _to_cap(lax.bitcast_convert_type(k5, jnp.int32), rows5)
-            del k5
-            p5 = gen_u32(jax.random.key(seed + 1), n5, 1 << 31)
-            pc = _to_cap(lax.bitcast_convert_type(p5, jnp.int32), rows5)
-            del p5
-            jax.block_until_ready((kc, pc))
-            return kc, pc, ks
-
-        def run(kc, pc):
-            st, bd = radix_sort_chain_parts(
-                (kc, pc), list(range(31)), n5, precapped=True
-            )
-            np.asarray(st[0][0][:1])
-            return st, bd
-
-        kc, pc, ksum = make_inputs(20)
-        streams, bounds = run(kc, pc)  # warm
-        del streams
-        t0 = time.time()
-        streams, bounds = run(kc, pc)
-        secs = time.time() - t0
-        del kc, pc
-        # correctness: checksum preserved + sorted head sample
-        bs = [0] + [int(b) for b in bounds] + [n5]
-        head = np.asarray(streams[0][0].reshape(-1)[: 1 << 16]).astype(np.uint32)
-        assert (np.diff(head.astype(np.int64)) >= 0).all(), "512m head unsorted"
-        tot = 0
-        for t in range(len(streams)):
-            seg = bs[t + 1] - bs[t]
-            if seg:
-                tot += int(
-                    jnp.sum(
-                        streams[t][0].reshape(-1)[:seg].astype(jnp.uint32),
-                        dtype=jnp.uint64,
-                    )
-                )
-        assert tot & ((1 << 64) - 1) == ksum, "512m checksum"
-        del streams
-        record(
-            "sort_u32_kv_402m",
-            n5,
-            secs,
-            n5 * 16,
-            ceiling=16.0 / (31 * 16 + 40),
-            ceiling_note="stable LSB radix at 402M rows (HBM-capacity-max single-chip k+v config)",
-        )
-
-    safe("sort_u32_kv_402m", sort_402m)
 
     # the prior rounds' bound for comparison (detail metric, not core)
     def sort_step(k, p):
@@ -719,6 +644,91 @@ def main():
                     int(n_op * (4 + 0.125 + 4 * sel)),
                 ),
             )
+
+    # ---- HBM-capacity-max sort point LAST (VERDICT r4 #8) -----------------
+    # this config peaks at 12.9 GB of chain state: it runs after every other
+    # metric with the bench's remaining arrays freed, because a hard OOM
+    # wedges this deployment's TPU client for the REST of the process
+    # (observed: one mid-bench OOM cascaded into every later metric)
+    try:
+        del data, mwords
+    except NameError:
+        pass
+    # ---- ~400M-row single-chip sort point (VERDICT r4 #8) -----------------
+    # HBM math (v5e: 15.75 GB usable): one radix pass holds in + out state =
+    # 8 cap buffers x ~4(n+slack) bytes.  n = 2^29 (537M) needs 17.2 GB ->
+    # impossible (donation does not help: XLA copy-protects aliased pallas
+    # inputs, measured); n = 3*2^27 = 402M rows needs 12.9 GB -> the honest
+    # single-chip k+v maximum, with the raw generator buffers freed
+    # pre-pass and single (un-fused) pass dispatches.  1B x (k+v) needs
+    # 2x chain state beyond any of this -> the 1B configuration is the
+    # N-host run (virtual-mesh correctness: tools/dist_sort_1b.py).
+    def sort_402m():
+        if jax.default_backend() != "tpu" or small:
+            return
+        n5 = 3 << 27
+        from arrow_tpu.compute.kernels.radix import (
+            radix_sort_chain_parts,
+        )
+
+        from arrow_tpu.compute.kernels.radix import _to_cap, cap_rows_for
+
+        rows5 = cap_rows_for(n5)
+
+        def make_inputs(seed):
+            # HBM discipline at 2^29: the raw generator outputs must die
+            # before the first pass (capped pair 4.3 GB + pass outputs
+            # 8.6 GB + originals 4.3 GB would exceed 16 GB)
+            k5 = gen_u32(jax.random.key(seed), n5, 1 << 31)
+            ks = int(jnp.sum(k5, dtype=jnp.uint64))
+            kc = _to_cap(lax.bitcast_convert_type(k5, jnp.int32), rows5)
+            del k5
+            p5 = gen_u32(jax.random.key(seed + 1), n5, 1 << 31)
+            pc = _to_cap(lax.bitcast_convert_type(p5, jnp.int32), rows5)
+            del p5
+            jax.block_until_ready((kc, pc))
+            return kc, pc, ks
+
+        def run(kc, pc):
+            st, bd = radix_sort_chain_parts(
+                (kc, pc), list(range(31)), n5, precapped=True
+            )
+            np.asarray(st[0][0][:1])
+            return st, bd
+
+        kc, pc, ksum = make_inputs(20)
+        streams, bounds = run(kc, pc)  # warm
+        del streams
+        t0 = time.time()
+        streams, bounds = run(kc, pc)
+        secs = time.time() - t0
+        del kc, pc
+        # correctness: checksum preserved + sorted head sample
+        bs = [0] + [int(b) for b in bounds] + [n5]
+        head = np.asarray(streams[0][0].reshape(-1)[: 1 << 16]).astype(np.uint32)
+        assert (np.diff(head.astype(np.int64)) >= 0).all(), "512m head unsorted"
+        tot = 0
+        for t in range(len(streams)):
+            seg = bs[t + 1] - bs[t]
+            if seg:
+                tot += int(
+                    jnp.sum(
+                        streams[t][0].reshape(-1)[:seg].astype(jnp.uint32),
+                        dtype=jnp.uint64,
+                    )
+                )
+        assert tot & ((1 << 64) - 1) == ksum, "512m checksum"
+        del streams
+        record(
+            "sort_u32_kv_402m",
+            n5,
+            secs,
+            n5 * 16,
+            ceiling=16.0 / (31 * 16 + 40),
+            ceiling_note="stable LSB radix at 402M rows (HBM-capacity-max single-chip k+v config)",
+        )
+
+    safe("sort_u32_kv_402m", sort_402m)
 
     # N>=2 scaling efficiency (tools/scaling_bench.py: multi-process
     # jax.distributed over localhost — the BASELINE >=75% metric's
