@@ -623,6 +623,7 @@ def _hash_aggregate_radix(keys, aggregations):
     forced = os.environ.get("ARROW_TPU_FORCE_RADIX_AGG") == "1"
     if (
         (jax.default_backend() != "tpu" and not forced)
+        or (n < (1 << 26) and not forced)  # below ~64M the fused sort path wins
         or n % 8192 != 0
         or keys.validity is not None
         or keys.length != n

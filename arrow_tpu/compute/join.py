@@ -351,6 +351,7 @@ def _join_plan(spec, bkeys, bvalidity, pkeys, pvalidity):
         sig is not None
         and keys[0].dtype == jnp.uint32
         and tot % 8192 == 0
+        and tot >= (1 << 26)  # below ~64M the fused lax.sort plan wins
         and jax.default_backend() == "tpu"
     )
     if use_radix:

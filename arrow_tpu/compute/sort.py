@@ -222,7 +222,11 @@ def _radix_auto(keys) -> bool:
         return True
     if forced == "xla":
         return False
-    return jax.default_backend() == "tpu" and keys.data.shape[0] >= (1 << 22)
+    # crossover vs the fused lax.sort: the chain wins clearly at 2^27
+    # (525 vs 590 ms) and is roughly at parity near 2^26; below that the
+    # per-pass floor and the chain's fixed costs (prep, sig sync, per-
+    # dispatch tunnel RTT) lose to one fused sort (~8 ms at 4M)
+    return jax.default_backend() == "tpu" and keys.data.shape[0] >= (1 << 26)
 
 
 def _radix_eligible(keys, payload_cols) -> bool:
