@@ -28,8 +28,11 @@ with sender-computed receive offsets from one tiny all-gathered count
 matrix, which also deletes the receive-side searchsorted compaction.
 XLA:CPU raises "HLO opcode `ragged-all-to-all` is not supported by
 ThunkEmitter" (probed r3, still true r5), so tests / CI / the virtual-device
-multichip dryrun run the padded-bucket formulation; ARROW_TPU_SHUFFLE
-forces either path for A/B.  The 1-device-TPU smoke comparing both paths
+multichip dryrun run the padded-bucket formulation, and this deployment's
+libtpu faults (INTERNAL) on ragged exchanges beyond 2^21 rows/shard
+(bisected r5: exact at 2^16..2^21, fault at 2^22) — the shuffle
+auto-selects ragged only within that bound.  ARROW_TPU_SHUFFLE forces
+either path for A/B.  The 1-device-TPU smoke comparing both paths
 lives in the round verify flow (tools/probe_r4.py probed the primitive;
 /root/scratch round-5 verify scripts exercise the full shuffle).
 """
@@ -325,9 +328,14 @@ def hash_partition(
     # tests and the virtual-device dryrun keep the padded-bucket exchange.
     # ARROW_TPU_SHUFFLE forces "ragged"/"padded" for A/B.
     forced = os.environ.get("ARROW_TPU_SHUFFLE")
-    ragged = (
-        forced == "ragged"
-        or (forced != "padded" and jax.default_backend() == "tpu")
+    # measured runtime bound (r5 bisect, 1-device v5e): lax.ragged_all_to_all
+    # is exact through 2^21 rows/shard and faults the TPU runtime (INTERNAL)
+    # at 2^22 on this deployment's libtpu — larger shards fall back to the
+    # padded exchange
+    ragged = forced == "ragged" or (
+        forced != "padded"
+        and jax.default_backend() == "tpu"
+        and cap <= (1 << 21)
     )
     auto_retry = bucket_rows is None
     bucket = bucket_rows or max(1024, -(-cap // p) * 4)
